@@ -1,0 +1,240 @@
+"""SIREN student networks, TPU-first.
+
+The reference's SIREN layers are 1x1 Conv2d + sin(omega0 * x)
+(reference: src/tha4/nn/siren/vanilla/siren.py:12-39).  A 1x1 conv over an
+NHWC grid is exactly a per-pixel matmul, so here every layer is a single
+``(N*H*W, Cin) @ (Cin, Cout)`` GEMM on the MXU followed by the VPU sin — the
+whole student collapses into a chain of large fused GEMMs, with position grids
+precomputed (the reference rebuilds them every frame,
+siren_morpher_03.py:92-105).
+
+Three models:
+  * ``Siren`` — vanilla chain (siren.py:62-91)
+  * ``SirenFaceMorpher00`` — pose -> 128x128 RGBA face crop (no input image)
+    (siren_face_morpher_00.py:28-52)
+  * ``SirenMorpher03`` — 3-level coarse-to-fine body morpher with final
+    grid-warp + alpha blend (siren_morpher_03.py:42-145)
+
+Weights are stored as (Cin, Cout) matrices; the torch converter squeezes the
+(O, I, 1, 1) conv weights and transposes.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tha4_tpu.ops import warp
+from tha4_tpu.ops.resize import resize_bilinear
+
+Params = Dict
+
+
+@dataclass(frozen=True)
+class SirenConfig:
+    """reference: src/tha4/nn/siren/vanilla/siren.py:42-59."""
+
+    in_channels: int
+    out_channels: int
+    intermediate_channels: int
+    num_sine_layers: int
+    use_tanh: bool = False
+    omega0: float = 30.0
+
+
+def _init_sine_linear(key, cin: int, cout: int, is_first: bool, omega0: float) -> Params:
+    """SIREN init: first layer U(+-1/cin), later U(+-sqrt(6/cin)/omega0)
+    (reference: siren.py:30-36); bias uses torch Conv2d default U(+-1/sqrt(cin))."""
+    wkey, bkey = jax.random.split(key)
+    if is_first:
+        bound = 1.0 / cin
+    else:
+        bound = math.sqrt(6.0 / cin) / omega0
+    w = jax.random.uniform(wkey, (cin, cout), jnp.float32, -bound, bound)
+    b_bound = 1.0 / math.sqrt(cin)
+    b = jax.random.uniform(bkey, (cout,), jnp.float32, -b_bound, b_bound)
+    return {"w": w, "b": b}
+
+
+def _init_he_linear(key, cin: int, cout: int) -> Params:
+    """shion HeInitialization on a 1x1 conv: kaiming_normal fan_in leaky_relu(0)
+    => std = sqrt(2/cin) (reference: shion/nn00/initialization_funcs.py:9-19)."""
+    wkey, bkey = jax.random.split(key)
+    w = jax.random.normal(wkey, (cin, cout), jnp.float32) * math.sqrt(2.0 / cin)
+    b_bound = 1.0 / math.sqrt(cin)
+    b = jax.random.uniform(bkey, (cout,), jnp.float32, -b_bound, b_bound)
+    return {"w": w, "b": b}
+
+
+def _sine_linear(params: Params, x: jnp.ndarray, omega0: float) -> jnp.ndarray:
+    """x: (..., Cin) -> sin(omega0 * (x @ w + b))."""
+    return jnp.sin(omega0 * (x @ params["w"].astype(x.dtype) + params["b"].astype(x.dtype)))
+
+
+def _linear(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return x @ params["w"].astype(x.dtype) + params["b"].astype(x.dtype)
+
+
+def siren_init(key, cfg: SirenConfig) -> Params:
+    keys = jax.random.split(key, cfg.num_sine_layers + 1)
+    layers = []
+    cin = cfg.in_channels
+    for i in range(cfg.num_sine_layers):
+        layers.append(_init_sine_linear(keys[i], cin, cfg.intermediate_channels, i == 0, cfg.omega0))
+        cin = cfg.intermediate_channels
+    return {
+        "sine_layers": layers,
+        "last_linear": _init_he_linear(keys[-1], cfg.intermediate_channels, cfg.out_channels),
+    }
+
+
+def siren_apply(cfg: SirenConfig, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """x: (..., in_channels), channels-last."""
+    for layer in params["sine_layers"]:
+        x = _sine_linear(layer, x, cfg.omega0)
+    x = _linear(params["last_linear"], x)
+    if cfg.use_tanh:
+        x = jnp.tanh(x)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Face morpher student
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class SirenFaceMorpherConfig:
+    """reference: src/tha4/nn/siren/face_morpher/siren_face_morpher_00.py:12-25;
+    shipped instantiation mode_14.py:96-106."""
+
+    image_size: int = 128
+    image_channels: int = 4
+    pose_size: int = 39
+    siren: SirenConfig = field(
+        default_factory=lambda: SirenConfig(
+            in_channels=41, out_channels=4, intermediate_channels=128, num_sine_layers=8
+        )
+    )
+
+
+def siren_face_morpher_init(key, cfg: SirenFaceMorpherConfig) -> Params:
+    return {"siren": siren_init(key, cfg.siren)}
+
+
+def siren_face_morpher_apply(
+    cfg: SirenFaceMorpherConfig, params: Params, pose: jnp.ndarray
+) -> jnp.ndarray:
+    """pose (N, pose_size) -> (N, S, S, C) RGBA crop.
+
+    Position grid = identity affine grid values, broadcast-concat with pose
+    (reference: siren_face_morpher_00.py:34-52).
+    """
+    n = pose.shape[0]
+    s = cfg.image_size
+    pos = warp.identity_grid(s, s).astype(pose.dtype)  # (S, S, 2), (x, y)
+    pos = jnp.broadcast_to(pos[None], (n, s, s, 2))
+    pose_img = jnp.broadcast_to(pose[:, None, None, :], (n, s, s, pose.shape[1]))
+    x = jnp.concatenate([pos, pose_img], axis=-1)
+    return siren_apply(cfg.siren, params["siren"], x)
+
+
+# ---------------------------------------------------------------------------
+# Body morpher student
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class SirenMorpherLevelConfig:
+    image_size: int
+    intermediate_channels: int
+    num_sine_layers: int
+
+
+@dataclass(frozen=True)
+class SirenMorpherConfig:
+    """reference: src/tha4/nn/siren/morpher/siren_morpher_03.py:14-39;
+    shipped instantiation mode_14.py:109-131."""
+
+    image_size: int = 512
+    image_channels: int = 4
+    pose_size: int = 45
+    levels: Tuple[SirenMorpherLevelConfig, ...] = (
+        SirenMorpherLevelConfig(128, 360, 3),
+        SirenMorpherLevelConfig(256, 180, 3),
+        SirenMorpherLevelConfig(512, 90, 3),
+    )
+
+
+# Output list indices (reference: siren_morpher_03.py:141-145)
+SIREN_MORPHER_INDEX_BLENDED_IMAGE = 0
+SIREN_MORPHER_INDEX_ALPHA = 1
+SIREN_MORPHER_INDEX_COLOR_CHANGE = 2
+SIREN_MORPHER_INDEX_WARPED_IMAGE = 3
+SIREN_MORPHER_INDEX_GRID_CHANGE = 4
+SIREN_MORPHER_OUTPUT_LENGTH = 5
+
+
+def siren_morpher_init(key, cfg: SirenMorpherConfig) -> Params:
+    """Level i layer stack (reference: siren_morpher_03.py:48-85):
+    first layer in (pose+2 [+prev channels if i>0]) -> C_i (is_first only at
+    level 0), middle layers C_i -> C_i, last layer C_i -> C_{i+1} (or C_i at
+    the last level); then a He-init linear head to image_channels + 2 + 1."""
+    n_levels = len(cfg.levels)
+    keys = jax.random.split(key, n_levels + 1)
+    levels = []
+    for i, lv in enumerate(cfg.levels):
+        lkeys = jax.random.split(keys[i], lv.num_sine_layers)
+        layers = []
+        if i == 0:
+            layers.append(_init_sine_linear(lkeys[0], cfg.pose_size + 2, lv.intermediate_channels, True, 30.0))
+        else:
+            layers.append(
+                _init_sine_linear(
+                    lkeys[0], lv.intermediate_channels + cfg.pose_size + 2, lv.intermediate_channels, False, 30.0
+                )
+            )
+        for j in range(1, lv.num_sine_layers - 1):
+            layers.append(_init_sine_linear(lkeys[j], lv.intermediate_channels, lv.intermediate_channels, False, 30.0))
+        out_ch = cfg.levels[i + 1].intermediate_channels if i < n_levels - 1 else lv.intermediate_channels
+        layers.append(_init_sine_linear(lkeys[-1], lv.intermediate_channels, out_ch, False, 30.0))
+        levels.append(layers)
+    head = _init_he_linear(keys[-1], cfg.levels[-1].intermediate_channels, cfg.image_channels + 2 + 1)
+    return {"levels": levels, "last_linear": head}
+
+
+def _position_and_pose(pose: jnp.ndarray, size: int) -> jnp.ndarray:
+    n = pose.shape[0]
+    pos = warp.identity_grid(size, size).astype(pose.dtype)
+    pos = jnp.broadcast_to(pos[None], (n, size, size, 2))
+    pose_img = jnp.broadcast_to(pose[:, None, None, :], (n, size, size, pose.shape[1]))
+    return jnp.concatenate([pos, pose_img], axis=-1)
+
+
+def siren_morpher_apply(
+    cfg: SirenMorpherConfig, params: Params, image: jnp.ndarray, pose: jnp.ndarray
+) -> List[jnp.ndarray]:
+    """image (N, S, S, C), pose (N, P) -> the 5-output list
+    (reference forward: siren_morpher_03.py:107-139)."""
+    x = None
+    for i, lv in enumerate(cfg.levels):
+        pp = _position_and_pose(pose, lv.image_size)
+        if i == 0:
+            x = pp
+        else:
+            x = resize_bilinear(x, (lv.image_size, lv.image_size))
+            x = jnp.concatenate([x, pp], axis=-1)
+        for layer in params["levels"][i]:
+            x = _sine_linear(layer, x, 30.0)
+
+    out = _linear(params["last_linear"], x)
+    grid_change = out[..., 0:2]
+    alpha = out[..., 2:3]
+    color_change = out[..., 3:]
+    warped = warp.apply_grid_change(grid_change, image)
+    blended = (1.0 - alpha) * warped + alpha * color_change
+    return [blended, alpha, color_change, warped, grid_change]
