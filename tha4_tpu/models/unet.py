@@ -1,0 +1,303 @@
+"""ADM-style conditional U-Net (teacher body morpher / upscaler trunk).
+
+Reference: src/tha4/nn/common/unet.py:100-658.  Key semantics preserved:
+  * ResBlock with FiLM scale-shift conditioning applied twice — once with the
+    (vestigial, t=0) time embedding, once with the pose embedding
+    (reference :90-97, :158-166); conv1 zero-init.
+  * Resampling *inside* ResBlocks (resample_with_res_block=True): nearest-2x
+    up / avgpool-2x down on both the residual and skip paths (reference
+    :33-62, :120-129).
+  * Spatial self-attention with ``use_new_attention_order=True`` qkv layout
+    (reference :192-202), zero-init output projection, over <=32x32 tokens at
+    the deepest level only.
+  * Down path stores every block output as a skip; each up level consumes
+    num_res_blocks_per_level+1 skips in pop (LIFO) order (reference :584-607).
+
+TPU notes: attention tokens are flattened NHWC -> (N, L, C) and run as
+batched GEMMs on the MXU; GroupNorm stats in f32; all convs NHWC/HWIO.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tha4_tpu.ops import nn as tnn
+from tha4_tpu.ops.resize import downsample_avg_2x, upsample_nearest_2x
+
+
+@dataclass(frozen=True)
+class AttentionConfig:
+    num_heads: Optional[int] = 1
+    num_head_channels: Optional[int] = None
+    use_new_attention_order: bool = False
+
+    def heads_for(self, channels: int) -> int:
+        if self.num_head_channels is None:
+            assert channels % self.num_heads == 0
+            return self.num_heads
+        assert channels % self.num_head_channels == 0
+        return channels // self.num_head_channels
+
+
+@dataclass(frozen=True)
+class UnetConfig:
+    in_channels: int = 3
+    out_channels: int = 3
+    model_channels: int = 64
+    level_channel_multipliers: Tuple[int, ...] = (1, 2, 4, 8)
+    level_use_attention: Tuple[bool, ...] = (False, False, False, False)
+    num_res_blocks_per_level: int = 2
+    num_middle_res_blocks: int = 2
+    time_embedding_channels: Optional[int] = None
+    cond_input_channels: int = 4
+    cond_internal_channels: int = 512
+    attention: AttentionConfig = field(default_factory=AttentionConfig)
+    dropout_prob: float = 0.1
+    condition_bias: float = 1.0
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.level_channel_multipliers)
+
+    @property
+    def t_emb_channels(self) -> int:
+        return self.time_embedding_channels or self.model_channels
+
+
+# ---------------------------------------------------------------------------
+# Sub-modules
+# ---------------------------------------------------------------------------
+
+
+def compute_timestep_embedding(t: jnp.ndarray, out_channels: int) -> jnp.ndarray:
+    """Sinusoidal embedding; [cos || sin] order (reference unet.py:365-376)."""
+    half = out_channels // 2
+    scale = -math.log(10000.0) / (half - 1)
+    log_times = scale * jnp.arange(0, half, dtype=t.dtype)
+    times = jnp.exp(log_times)[None, :] * t  # (N, half); t is (N, 1)
+    emb = jnp.concatenate([jnp.cos(times), jnp.sin(times)], axis=1)
+    if out_channels % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (1, 1)))
+    return emb
+
+
+def _init_resblock(
+    key, cin: int, cout: int, cond_channels: int, use_cond1: bool, dtype=jnp.float32
+) -> Dict:
+    k = jax.random.split(key, 5)
+    p: Dict = {
+        "norm0": tnn.init_norm_affine(cin, dtype),
+        "conv0": tnn.init_conv(k[0], 3, 3, cin, cout, bias=True, method="none", dtype=dtype),
+        "cond0": tnn.init_linear(k[1], cond_channels, 2 * cout, dtype=dtype),
+        "norm1": tnn.init_norm_affine(cout, dtype),
+        "conv1": tnn.init_conv(k[2], 3, 3, cout, cout, bias=True, method="zero", dtype=dtype),
+    }
+    # torch zero-inits both weight and bias of conv1 (reference unet.py:26-30)
+    p["conv1"]["b"] = jnp.zeros_like(p["conv1"]["b"])
+    if use_cond1:
+        p["cond1"] = tnn.init_linear(k[3], cond_channels, 2 * cout, dtype=dtype)
+    if cin != cout:
+        p["skip"] = tnn.init_conv(k[4], 1, 1, cin, cout, bias=True, method="none", dtype=dtype)
+    return p
+
+
+def _apply_scaleshift(x: jnp.ndarray, scaleshift: jnp.ndarray, condition_bias: float) -> jnp.ndarray:
+    """x (N,H,W,C), scaleshift (N,2C): x*(bias+scale)+shift (reference :90-97)."""
+    scale, shift = jnp.split(scaleshift[:, None, None, :], 2, axis=-1)
+    return x * (condition_bias + scale.astype(x.dtype)) + shift.astype(x.dtype)
+
+
+def _resblock(
+    params: Dict,
+    x: jnp.ndarray,
+    cond0: Optional[jnp.ndarray],
+    cond1: Optional[jnp.ndarray],
+    sampling: str = "same",  # same|up|down
+    condition_bias: float = 1.0,
+) -> jnp.ndarray:
+    """Reference ResBlock.forward (unet.py:154-166)."""
+    resample = {"same": lambda a: a, "up": upsample_nearest_2x, "down": downsample_avg_2x}[sampling]
+    h = jax.nn.silu(tnn.group_norm(params["norm0"], x, num_groups=min(32, x.shape[-1])))
+    h = tnn.conv2d(params["conv0"], resample(h))
+    if cond0 is not None:
+        h = tnn.group_norm(params["norm1"], h, num_groups=min(32, h.shape[-1]))
+        h = _apply_scaleshift(h, tnn.linear(params["cond0"], jax.nn.silu(cond0)), condition_bias)
+        if "cond1" in params and cond1 is not None:
+            h = _apply_scaleshift(h, tnn.linear(params["cond1"], jax.nn.silu(cond1)), condition_bias)
+        h = tnn.conv2d(params["conv1"], jax.nn.silu(h))
+    skip = resample(x)
+    if "skip" in params:
+        skip = tnn.conv2d(params["skip"], skip)
+    return skip + h
+
+
+def _init_attention(key, channels: int, dtype=jnp.float32) -> Dict:
+    k0, k1 = jax.random.split(key)
+    p = {
+        "norm": tnn.init_norm_affine(channels, dtype),
+        "qkv": tnn.init_conv(k0, 1, 1, channels, 3 * channels, bias=True, method="none", dtype=dtype),
+        "proj": tnn.init_conv(k1, 1, 1, channels, channels, bias=True, method="zero", dtype=dtype),
+    }
+    p["proj"]["b"] = jnp.zeros_like(p["proj"]["b"])
+    return p
+
+
+def _attention(params: Dict, x: jnp.ndarray, attn_cfg: AttentionConfig) -> jnp.ndarray:
+    """Spatial self-attention (reference AttentionBlock.forward unet.py:230-239)."""
+    n, hh, ww, c = x.shape
+    num_heads = attn_cfg.heads_for(c)
+    ch = c // num_heads
+    qkv = tnn.conv2d(params["qkv"], tnn.group_norm(params["norm"], x, num_groups=min(32, c)))
+    qkv = qkv.reshape(n, hh * ww, 3 * c)
+
+    if attn_cfg.use_new_attention_order:
+        # chunk into q,k,v along channels, then split heads (reference :192-202)
+        q, k, v = jnp.split(qkv, 3, axis=-1)  # each (N, L, C)
+        q = q.reshape(n, -1, num_heads, ch)
+        k = k.reshape(n, -1, num_heads, ch)
+        v = v.reshape(n, -1, num_heads, ch)
+    else:
+        # legacy: per-head (q,k,v) interleaved: layout (heads, 3, ch) (:178-189)
+        qkv = qkv.reshape(n, -1, num_heads, 3, ch)
+        q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]
+
+    scale = 1.0 / math.sqrt(math.sqrt(ch))
+    weight = jnp.einsum("nthc,nshc->nhts", q * scale, k * scale)
+    weight = jax.nn.softmax(weight.astype(jnp.float32), axis=-1).astype(x.dtype)
+    out = jnp.einsum("nhts,nshc->nthc", weight, v).reshape(n, hh, ww, c)
+    return x + tnn.conv2d(params["proj"], out)
+
+
+# ---------------------------------------------------------------------------
+# Full U-Net
+# ---------------------------------------------------------------------------
+
+
+def init(key, cfg: UnetConfig, dtype=jnp.float32) -> Dict:
+    keys = iter(jax.random.split(key, 256))
+    cond_ch = cfg.cond_internal_channels
+    p: Dict = {
+        "time_embed": [
+            tnn.init_linear(next(keys), cfg.t_emb_channels, cond_ch, dtype=dtype),
+            tnn.init_linear(next(keys), cond_ch, cond_ch, dtype=dtype),
+        ],
+        "cond_embed": [
+            tnn.init_linear(next(keys), cfg.cond_input_channels, cond_ch, dtype=dtype),
+            tnn.init_linear(next(keys), cond_ch, cond_ch, dtype=dtype),
+        ],
+        "first_conv": tnn.init_conv(next(keys), 3, 3, cfg.in_channels, cfg.model_channels, bias=True, method="none", dtype=dtype),
+    }
+
+    current = cfg.model_channels
+    channels = [current]
+    down = []
+    for i in range(cfg.num_levels):
+        out_ch = cfg.model_channels * cfg.level_channel_multipliers[i]
+        blk: Dict = {"res_blocks": []}
+        if cfg.level_use_attention[i]:
+            blk["attention_blocks"] = []
+        for j in range(cfg.num_res_blocks_per_level):
+            cin = current if j == 0 else out_ch
+            blk["res_blocks"].append(_init_resblock(next(keys), cin, out_ch, cond_ch, True, dtype))
+            if cfg.level_use_attention[i]:
+                blk["attention_blocks"].append(_init_attention(next(keys), out_ch, dtype))
+            channels.append(out_ch)
+        if i < cfg.num_levels - 1:
+            blk["downsample"] = _init_resblock(next(keys), out_ch, out_ch, cond_ch, True, dtype)
+            channels.append(out_ch)
+        down.append(blk)
+        current = out_ch
+    p["down_blocks"] = down
+
+    middle = []
+    for _ in range(cfg.num_middle_res_blocks - 1):
+        middle.append({"res": _init_resblock(next(keys), current, current, cond_ch, True, dtype)})
+        middle.append({"attn": _init_attention(next(keys), current, dtype)})
+    middle.append({"res": _init_resblock(next(keys), current, current, cond_ch, True, dtype)})
+    p["middle_blocks"] = middle
+
+    up = []
+    for i in reversed(range(cfg.num_levels)):
+        skip_channels = [channels.pop() for _ in range(cfg.num_res_blocks_per_level + 1)]
+        out_ch = cfg.model_channels * cfg.level_channel_multipliers[i]
+        blk = {"res_blocks": []}
+        if cfg.level_use_attention[i]:
+            blk["attention_blocks"] = []
+        for j in range(cfg.num_res_blocks_per_level + 1):
+            cin = (current if j == 0 else out_ch) + skip_channels[j]
+            blk["res_blocks"].append(_init_resblock(next(keys), cin, out_ch, cond_ch, True, dtype))
+            if cfg.level_use_attention[i]:
+                blk["attention_blocks"].append(_init_attention(next(keys), out_ch, dtype))
+        if i > 0:
+            blk["upsample"] = _init_resblock(next(keys), out_ch, out_ch, cond_ch, True, dtype)
+        up.append(blk)
+        current = out_ch
+    assert not channels
+    p["up_blocks"] = up
+
+    p["last_norm"] = tnn.init_norm_affine(current, dtype)
+    last = tnn.init_conv(next(keys), 3, 3, current, cfg.out_channels, bias=True, method="zero", dtype=dtype)
+    last["b"] = jnp.zeros_like(last["b"])
+    p["last_conv"] = last
+    return p
+
+
+def apply(
+    cfg: UnetConfig,
+    params: Dict,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    cond: jnp.ndarray,
+    first_conv_addition: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """x (N,S,S,Cin), t (N,1), cond (N,cond_input_channels) -> (N,S,S,Cout).
+
+    ``first_conv_addition`` implements UnetWithFirstConvAddition
+    (reference unet.py:640-658).
+    """
+    te = params["time_embed"]
+    t_emb = compute_timestep_embedding(t.astype(jnp.float32), cfg.t_emb_channels)
+    t_emb = tnn.linear(te[1], jax.nn.silu(tnn.linear(te[0], t_emb)))
+    ce = params["cond_embed"]
+    cond_emb = tnn.linear(ce[1], jax.nn.silu(tnn.linear(ce[0], cond.astype(jnp.float32))))
+    t_emb = t_emb.astype(x.dtype)
+    cond_emb = cond_emb.astype(x.dtype)
+    cb = cfg.condition_bias
+
+    h = tnn.conv2d(params["first_conv"], x)
+    if first_conv_addition is not None:
+        h = h + first_conv_addition
+    hs = [h]
+    for i, blk in enumerate(params["down_blocks"]):
+        for j, rb in enumerate(blk["res_blocks"]):
+            h = _resblock(rb, h, t_emb, cond_emb, "same", cb)
+            if cfg.level_use_attention[i]:
+                h = _attention(blk["attention_blocks"][j], h, cfg.attention)
+            hs.append(h)
+        if "downsample" in blk:
+            h = _resblock(blk["downsample"], h, t_emb, cond_emb, "down", cb)
+            hs.append(h)
+
+    for blk in params["middle_blocks"]:
+        if "res" in blk:
+            h = _resblock(blk["res"], h, t_emb, cond_emb, "same", cb)
+        else:
+            h = _attention(blk["attn"], h, cfg.attention)
+
+    for idx, blk in enumerate(params["up_blocks"]):
+        i = cfg.num_levels - 1 - idx
+        for j, rb in enumerate(blk["res_blocks"]):
+            h = _resblock(rb, jnp.concatenate([h, hs.pop()], axis=-1), t_emb, cond_emb, "same", cb)
+            if cfg.level_use_attention[i]:
+                h = _attention(blk["attention_blocks"][j], h, cfg.attention)
+        if "upsample" in blk:
+            h = _resblock(blk["upsample"], h, t_emb, cond_emb, "up", cb)
+    assert not hs
+
+    h = jax.nn.silu(tnn.group_norm(params["last_norm"], h, num_groups=min(32, h.shape[-1])))
+    return tnn.conv2d(params["last_conv"], h)

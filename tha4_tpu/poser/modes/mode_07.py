@@ -1,0 +1,201 @@
+"""mode_07 — the full five-network teacher pipeline.
+
+Reference: src/tha4/poser/modes/mode_07.py.  DAG (reference :73-132):
+
+  eyebrow_decomposer(image[64:192, 192:320])                       128x128
+  eyebrow_morphing_combiner(bg, brow, pose[0:12])                  128x128
+  face_morpher(image[32:224, 160:352] with brow pasted, pose[12:39]) 192x192
+  face_morphed_full = paste back into 512x512
+  face_morphed_half = bilinear 256x256
+  body_morpher(half, pose[39:45])                                  256x256
+  upscaler(full, upsample(merged), upsample(grid), pose[39:45])    512x512
+
+All-outputs list (33 tensors, reference :119-132):
+  upscaler(5) + [face_morphed_full] + body(5) + face(8) + combiner(8) + decomposer(6)
+
+The reference memoizes the eyebrow-decomposer output across frames with an
+exact tensor-diff check (:54-70); here the whole pipeline is one XLA program
+and the rest-image branch costs one extra 128x128 network — callers that want
+the same caching can pass ``decomposer_cache`` (see TeacherPoser.pose).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tha4_tpu.models import body_morpher, eyebrow, face_morpher, upscaler
+from tha4_tpu.ops.resize import resize_bilinear
+from tha4_tpu.poser.general_poser import GeneralPoser
+from tha4_tpu.poser.modes.pose_parameters import (
+    NUM_EYEBROW_PARAMS,
+    NUM_FACE_PARAMS,
+)
+
+KEY_EYEBROW_DECOMPOSER = "eyebrow_decomposer"
+KEY_EYEBROW_MORPHING_COMBINER = "eyebrow_morphing_combiner"
+KEY_FACE_MORPHER = "face_morpher"
+KEY_BODY_MORPHER = "body_morpher"
+KEY_UPSCALER = "upscaler"
+
+OUTPUT_LENGTH = 5 + 1 + 5 + 8 + 8 + 6  # 33 (reference :313)
+INDEX_FACE_MORPHED_FULL = 5
+
+DEFAULT_TEACHER_FILES = {
+    KEY_EYEBROW_DECOMPOSER: "data/tha4/eyebrow_decomposer.pt",
+    KEY_EYEBROW_MORPHING_COMBINER: "data/tha4/eyebrow_morphing_combiner.pt",
+    KEY_FACE_MORPHER: "data/tha4/face_morpher.pt",
+    KEY_BODY_MORPHER: "data/tha4/body_morpher.pt",
+    KEY_UPSCALER: "data/tha4/upscaler.pt",
+}
+
+
+@dataclass(frozen=True)
+class TeacherConfig:
+    """The shipped teacher instantiation (reference mode_07.py:137-269)."""
+
+    eyebrow_decomposer: eyebrow.EyebrowDecomposerConfig = field(default_factory=eyebrow.EyebrowDecomposerConfig)
+    eyebrow_combiner: eyebrow.EyebrowCombinerConfig = field(default_factory=eyebrow.EyebrowCombinerConfig)
+    face_morpher: face_morpher.FaceMorpherConfig = field(default_factory=face_morpher.FaceMorpherConfig)
+    body_morpher: body_morpher.BodyMorpherConfig = field(default_factory=body_morpher.BodyMorpherConfig)
+    upscaler: upscaler.UpscalerConfig = field(default_factory=upscaler.UpscalerConfig)
+    eyebrow_morphed_image_index: int = eyebrow.COMBINER_EYEBROW_IMAGE_NO_COMBINE_ALPHA_INDEX
+
+
+def init(key, cfg: TeacherConfig = TeacherConfig()) -> Dict:
+    """Random-init teacher params (for tests/training-from-scratch)."""
+    k = jax.random.split(key, 5)
+    return {
+        KEY_EYEBROW_DECOMPOSER: eyebrow.eyebrow_decomposer_init(k[0], cfg.eyebrow_decomposer),
+        KEY_EYEBROW_MORPHING_COMBINER: eyebrow.eyebrow_combiner_init(k[1], cfg.eyebrow_combiner),
+        KEY_FACE_MORPHER: face_morpher.init(k[2], cfg.face_morpher),
+        KEY_BODY_MORPHER: body_morpher.init(k[3], cfg.body_morpher),
+        KEY_UPSCALER: upscaler.init(k[4], cfg.upscaler),
+    }
+
+
+def compute_decomposer_outputs(cfg: TeacherConfig, params: Dict, image: jnp.ndarray) -> List[jnp.ndarray]:
+    """The rest-image-only stage, cacheable across frames (reference :73-75)."""
+    crop = image[:, 64:192, 192:320, :]
+    return eyebrow.eyebrow_decomposer_apply(cfg.eyebrow_decomposer, params[KEY_EYEBROW_DECOMPOSER], crop)
+
+
+def compute_outputs(
+    cfg: TeacherConfig,
+    params: Dict,
+    image: jnp.ndarray,
+    pose: jnp.ndarray,
+    decomposer_outputs: Optional[List[jnp.ndarray]] = None,
+):
+    """image (N,512,512,4) + pose (N,45) -> the 33-output tuple."""
+    if decomposer_outputs is None:
+        decomposer_outputs = compute_decomposer_outputs(cfg, params, image)
+
+    background_layer = decomposer_outputs[eyebrow.DECOMPOSER_BACKGROUND_LAYER_INDEX]
+    eyebrow_layer = decomposer_outputs[eyebrow.DECOMPOSER_EYEBROW_LAYER_INDEX]
+    combiner_outputs = eyebrow.eyebrow_combiner_apply(
+        cfg.eyebrow_combiner,
+        params[KEY_EYEBROW_MORPHING_COMBINER],
+        background_layer,
+        eyebrow_layer,
+        pose[:, :NUM_EYEBROW_PARAMS],
+    )
+
+    eyebrow_morphed = combiner_outputs[cfg.eyebrow_morphed_image_index]
+    face_input = image[:, 32:224, 160:352, :]
+    face_input = jax.lax.dynamic_update_slice(
+        face_input, eyebrow_morphed.astype(face_input.dtype), (0, 32, 32, 0)
+    )
+    face_outputs = face_morpher.apply(
+        cfg.face_morpher,
+        params[KEY_FACE_MORPHER],
+        face_input,
+        pose[:, NUM_EYEBROW_PARAMS : NUM_EYEBROW_PARAMS + NUM_FACE_PARAMS],
+    )
+
+    face_morphed_full = jax.lax.dynamic_update_slice(
+        image, face_outputs[0].astype(image.dtype), (0, 32, 160, 0)
+    )
+    face_morphed_half = resize_bilinear(face_morphed_full, (256, 256))
+
+    rotation_pose = pose[:, NUM_EYEBROW_PARAMS + NUM_FACE_PARAMS :]
+    body_outputs = body_morpher.apply(
+        cfg.body_morpher, params[KEY_BODY_MORPHER], face_morphed_half, rotation_pose
+    )
+
+    coarse_posed = resize_bilinear(body_outputs[body_morpher.INDEX_MERGED], (512, 512))
+    coarse_grid = resize_bilinear(body_outputs[body_morpher.INDEX_GRID_CHANGE], (512, 512))
+    upscaler_outputs = upscaler.apply(
+        cfg.upscaler, params[KEY_UPSCALER], face_morphed_full, coarse_posed, coarse_grid, rotation_pose
+    )
+
+    return (
+        tuple(upscaler_outputs)
+        + (face_morphed_full,)
+        + tuple(body_outputs)
+        + tuple(face_outputs)
+        + tuple(combiner_outputs)
+        + tuple(decomposer_outputs)
+    )
+
+
+def load_params_from_torch(module_file_names: Optional[Dict[str, str]] = None) -> Dict:
+    """Convert the five teacher .pt state dicts (reference :272-302)."""
+    from tha4_tpu.convert import torch_weights as tw
+
+    files = dict(DEFAULT_TEACHER_FILES)
+    files.update(module_file_names or {})
+    cfg = TeacherConfig()
+    return {
+        KEY_EYEBROW_DECOMPOSER: jax.tree.map(
+            jnp.asarray, tw.convert_eyebrow_decomposer(tw.load_torch_state_dict(files[KEY_EYEBROW_DECOMPOSER]))
+        ),
+        KEY_EYEBROW_MORPHING_COMBINER: jax.tree.map(
+            jnp.asarray,
+            tw.convert_eyebrow_morphing_combiner(tw.load_torch_state_dict(files[KEY_EYEBROW_MORPHING_COMBINER])),
+        ),
+        KEY_FACE_MORPHER: jax.tree.map(
+            jnp.asarray, tw.convert_face_morpher_08(tw.load_torch_state_dict(files[KEY_FACE_MORPHER]))
+        ),
+        KEY_BODY_MORPHER: jax.tree.map(
+            jnp.asarray,
+            tw.convert_morpher_00(tw.load_torch_state_dict(files[KEY_BODY_MORPHER]), cfg.body_morpher.unet),
+        ),
+        KEY_UPSCALER: jax.tree.map(
+            jnp.asarray, tw.convert_upscaler_02(tw.load_torch_state_dict(files[KEY_UPSCALER]), cfg.upscaler.unet)
+        ),
+    }
+
+
+def create_poser(
+    module_file_names: Optional[Dict[str, str]] = None,
+    eyebrow_morphed_image_index: int = eyebrow.COMBINER_EYEBROW_IMAGE_NO_COMBINE_ALPHA_INDEX,
+    default_output_index: int = 0,
+    compute_dtype=jnp.float32,
+    params: Optional[Dict] = None,
+    cfg: Optional[TeacherConfig] = None,
+) -> GeneralPoser:
+    """Reference create_poser (mode_07.py:272-315); params may be supplied
+    directly (e.g. random init) instead of torch files."""
+    import dataclasses
+
+    cfg = cfg or TeacherConfig()
+    if eyebrow_morphed_image_index != cfg.eyebrow_morphed_image_index:
+        cfg = dataclasses.replace(cfg, eyebrow_morphed_image_index=eyebrow_morphed_image_index)
+
+    if params is not None:
+        loader = lambda: params
+    else:
+        loader = lambda: load_params_from_torch(module_file_names)
+
+    return GeneralPoser(
+        image_size=512,
+        output_length=OUTPUT_LENGTH,
+        params_loader=loader,
+        run_fn=lambda p, image, pose: compute_outputs(cfg, p, image, pose),
+        default_output_index=default_output_index,
+        compute_dtype=compute_dtype,
+    )

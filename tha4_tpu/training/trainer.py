@@ -1,0 +1,194 @@
+"""The training loop: examples-seen accounting, cadences, resume.
+
+Functional equivalent of the reference DistributedTrainer
+(reference: src/tha4/shion/core/training/distrib/distributed_trainer.py:287-389):
+
+  * progress is measured in *examples seen*, never steps;
+  * checkpoint every N examples into {prefix}/checkpoint/{i:04d}, rolling
+    snapshot every M examples, sample-image dump every K examples;
+  * resume = newest loadable state (snapshot, else newest checkpoint) whose
+    progress fits the target (:145-169);
+  * per-step scalars logged under {prefix}/log (JSONL here; the reference
+    used TensorBoard — see util.create_log_func).
+
+TPU-first differences: the train step is ONE jitted, buffer-donated function
+(teacher forward + student forward + loss + Adam update fused on device);
+data parallelism is a sharded batch over the mesh's ``data`` axis rather than
+DDP process replication, so this same loop runs single-chip or multi-chip.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from tha4_tpu.training import checkpoint as ckpt
+
+logger = logging.getLogger(__name__)
+
+KEY_MODULE = "module"
+
+
+def get_least_greater_multiple(value: int, multiple: int) -> int:
+    """Smallest multiple of ``multiple`` strictly greater than value
+    (reference shion/core/training/util.py:19-22 semantics)."""
+    return (value // multiple + 1) * multiple
+
+
+@dataclass
+class TrainerConfig:
+    prefix: str
+    checkpoint_examples: List[int]  # cumulative boundaries, e.g. [100k..1.5M]
+    total_batch_size: int = 8
+    examples_per_snapshot: int = 10_000
+    examples_per_sample_output: Optional[int] = 10_000
+    random_seed: int = 2965603729
+    log_every_seconds: float = 10.0
+
+
+class Trainer:
+    """Drives one student distillation job.
+
+    Pluggable pieces (all pure functions):
+      init_params(key) -> params
+      init_opt_state(params) -> opt_state
+      train_step(params, opt_state, batch, lr, loss_weights, key)
+          -> (params, opt_state, metrics dict)   [jitted by the caller]
+      make_batch(key, batch_size) -> batch pytree (device-ready)
+      lr_fn(examples_seen) -> float
+      loss_weights_fn(examples_seen) -> dict str->float
+      sample_output_fn(params, examples_seen) -> None (writes PNGs)
+    """
+
+    def __init__(
+        self,
+        cfg: TrainerConfig,
+        init_params: Callable,
+        init_opt_state: Callable,
+        train_step: Callable,
+        make_batch: Callable,
+        lr_fn: Callable[[int], float],
+        loss_weights_fn: Optional[Callable[[int], Dict[str, float]]] = None,
+        sample_output_fn: Optional[Callable] = None,
+        module_name: str = KEY_MODULE,
+    ):
+        self.cfg = cfg
+        self.init_params = init_params
+        self.init_opt_state = init_opt_state
+        self.train_step = train_step
+        self.make_batch = make_batch
+        self.lr_fn = lr_fn
+        self.loss_weights_fn = loss_weights_fn or (lambda e: {})
+        self.sample_output_fn = sample_output_fn
+        self.module_name = module_name
+
+    # -- state ------------------------------------------------------------
+
+    def _fresh_state(self):
+        key = jax.random.PRNGKey(self.cfg.random_seed & 0xFFFFFFFF)
+        pkey, key = jax.random.split(key)
+        params = self.init_params(pkey)
+        opt_state = self.init_opt_state(params)
+        return params, opt_state, 0, key
+
+    def _load_or_init(self, target_examples: int):
+        params_tpl, opt_tpl, _, _ = self._fresh_state()
+        resume = ckpt.find_resume_dir(
+            self.cfg.prefix, target_examples, self.cfg.total_batch_size, [self.module_name]
+        )
+        if resume is not None:
+            logger.info("Resuming from %s", resume)
+            modules, opts, _, examples_seen, rng = ckpt.load_state(
+                resume, {self.module_name: params_tpl}, {self.module_name: opt_tpl}
+            )
+            params = jax.tree.map(jax.numpy.asarray, modules[self.module_name])
+            opt_state = jax.tree.map(jax.numpy.asarray, opts[self.module_name])
+            key = jax.numpy.asarray(rng)
+            return params, opt_state, examples_seen, key
+        logger.info("Starting fresh training state")
+        params, opt_state, examples_seen, key = self._fresh_state()
+        # Persist checkpoint 0 like the reference (distributed_trainer.py:166-169)
+        self._save(ckpt.checkpoint_dir(self.cfg.prefix, 0), params, opt_state, 0, key)
+        return params, opt_state, examples_seen, key
+
+    def _save(self, directory, params, opt_state, examples_seen, key) -> None:
+        ckpt.save_state(
+            directory,
+            {self.module_name: jax.tree.map(np.asarray, params)},
+            {self.module_name: jax.tree.map(np.asarray, opt_state)},
+            examples_seen,
+            np.asarray(key),
+        )
+
+    # -- loop -------------------------------------------------------------
+
+    def train(self, target_examples: Optional[int] = None) -> Dict:
+        cfg = self.cfg
+        if target_examples is None:
+            target_examples = cfg.checkpoint_examples[-1]
+        os.makedirs(cfg.prefix, exist_ok=True)
+        log_path = os.path.join(cfg.prefix, "log", "scalars.jsonl")
+        os.makedirs(os.path.dirname(log_path), exist_ok=True)
+
+        params, opt_state, examples_seen, key = self._load_or_init(target_examples)
+
+        next_snapshot = get_least_greater_multiple(examples_seen, cfg.examples_per_snapshot)
+        if cfg.examples_per_sample_output is not None:
+            next_sample = get_least_greater_multiple(max(examples_seen - 1, 0), cfg.examples_per_sample_output)
+        checkpoints_due = [c for c in cfg.checkpoint_examples if c > examples_seen and c <= target_examples]
+
+        if self.sample_output_fn is not None and cfg.examples_per_sample_output is not None and examples_seen == 0:
+            self.sample_output_fn(params, examples_seen)
+            next_sample = cfg.examples_per_sample_output
+
+        last_log_time = time.monotonic()
+        t_start = time.monotonic()
+        steps = 0
+        log_file = open(log_path, "a")
+        try:
+            while examples_seen < target_examples:
+                key, bkey, skey = jax.random.split(key, 3)
+                batch = self.make_batch(bkey, cfg.total_batch_size)
+                lr = self.lr_fn(examples_seen)
+                weights = self.loss_weights_fn(examples_seen)
+                params, opt_state, metrics = self.train_step(params, opt_state, batch, lr, weights, skey)
+                examples_seen += cfg.total_batch_size
+                steps += 1
+
+                now = time.monotonic()
+                if now - last_log_time > cfg.log_every_seconds:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    m.update(examples_seen=examples_seen, lr=lr, elapsed=now - t_start)
+                    log_file.write(json.dumps(m) + "\n")
+                    log_file.flush()
+                    logger.info("Showed %d training examples. loss=%.5f", examples_seen, m.get("loss", -1))
+                    last_log_time = now
+
+                if examples_seen >= next_snapshot:
+                    self._save(ckpt.snapshot_dir(cfg.prefix), params, opt_state, examples_seen, key)
+                    next_snapshot = get_least_greater_multiple(examples_seen, cfg.examples_per_snapshot)
+
+                if (
+                    self.sample_output_fn is not None
+                    and cfg.examples_per_sample_output is not None
+                    and examples_seen >= next_sample
+                ):
+                    self.sample_output_fn(params, examples_seen)
+                    next_sample = get_least_greater_multiple(examples_seen, cfg.examples_per_sample_output)
+
+                while checkpoints_due and examples_seen >= checkpoints_due[0]:
+                    boundary = checkpoints_due.pop(0)
+                    index = cfg.checkpoint_examples.index(boundary) + 1
+                    self._save(ckpt.checkpoint_dir(cfg.prefix, index), params, opt_state, examples_seen, key)
+                    logger.info("Wrote checkpoint %04d at %d examples", index, examples_seen)
+        finally:
+            log_file.close()
+
+        return {"params": params, "opt_state": opt_state, "examples_seen": examples_seen, "key": key}
