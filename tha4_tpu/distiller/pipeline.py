@@ -1,0 +1,338 @@
+"""Distillation pipeline: config -> trainers -> task DAG -> CharacterModel.
+
+Reference flow (src/tha4/distiller/distiller_config.py:250-310 +
+config_based_training_tasks.py): per-checkpoint file tasks that shell out to
+torchrun.  Here each student trains in-process as a sequence of jitted steps
+over the device mesh; the file-task DAG provides the same interruptibility
+contract (kill any time, rerun the same command).
+
+The produced character model directory is byte-compatible with the reference
+(character.png + face_morpher.pt + body_morpher.pt + character_model.yaml).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tha4_tpu.charmodel import CharacterModel
+from tha4_tpu.distiller import recipes, sample_output
+from tha4_tpu.distiller.config import POSE_DATASET_FILE_NAME, DistillerConfig, copy_file
+from tha4_tpu.distiller.pose_dataset import PoseSource
+from tha4_tpu.models import siren
+from tha4_tpu.poser.modes import mode_07, mode_12
+from tha4_tpu.tasks.workspace import Workspace, file_task
+from tha4_tpu.training import checkpoint as ckpt
+from tha4_tpu.training.trainer import Trainer, TrainerConfig
+
+logger = logging.getLogger(__name__)
+
+
+def _load_character_image(path: str) -> jnp.ndarray:
+    from tha4_tpu.core import imagecodec
+
+    return jnp.asarray(imagecodec.load_image_hwc(path))[None]
+
+
+class DistillationJobs:
+    """Builds and runs the two student trainings for one config."""
+
+    def __init__(
+        self,
+        config: DistillerConfig,
+        teacher_params_07: Optional[Dict] = None,
+        teacher_params_12: Optional[Dict] = None,
+        teacher_cfg_07: Optional[mode_07.TeacherConfig] = None,
+        teacher_cfg_12: Optional[mode_12.FaceTeacherConfig] = None,
+        compute_dtype=jnp.bfloat16,
+        face_total_examples: int = recipes.FACE_MORPHER_TOTAL_EXAMPLES,
+        body_total_examples: int = recipes.BODY_MORPHER_TOTAL_EXAMPLES,
+        examples_per_checkpoint: int = recipes.EXAMPLES_PER_CHECKPOINT,
+        examples_per_snapshot: int = 10_000,
+    ):
+        self.config = config
+        self.compute_dtype = compute_dtype
+        self.teacher_cfg_07 = teacher_cfg_07 or mode_07.TeacherConfig()
+        self.teacher_cfg_12 = teacher_cfg_12 or mode_12.FaceTeacherConfig()
+        self._teacher_params_07 = teacher_params_07
+        self._teacher_params_12 = teacher_params_12
+        self.face_total_examples = face_total_examples
+        self.body_total_examples = body_total_examples
+        self.examples_per_checkpoint = examples_per_checkpoint
+        self.examples_per_snapshot = examples_per_snapshot
+
+        self.face_student_cfg = siren.SirenFaceMorpherConfig()
+        self.body_student_cfg = siren.SirenMorpherConfig()
+        self.pose_source = PoseSource(POSE_DATASET_FILE_NAME)
+        self._character_image = None
+
+    # -- lazy heavy assets -------------------------------------------------
+
+    @property
+    def character_image(self) -> jnp.ndarray:
+        if self._character_image is None:
+            self._character_image = _load_character_image(self.config.character_image_file_name)
+        return self._character_image
+
+    def teacher_params_07(self) -> Dict:
+        if self._teacher_params_07 is None:
+            self._teacher_params_07 = mode_07.load_params_from_torch()
+        return self._teacher_params_07
+
+    def teacher_params_12(self) -> Dict:
+        if self._teacher_params_12 is None:
+            if self._teacher_params_07 is not None:
+                self._teacher_params_12 = {
+                    k: self._teacher_params_07[k]
+                    for k in (
+                        mode_07.KEY_EYEBROW_DECOMPOSER,
+                        mode_07.KEY_EYEBROW_MORPHING_COMBINER,
+                        mode_07.KEY_FACE_MORPHER,
+                    )
+                }
+            else:
+                self._teacher_params_12 = mode_12.load_params_from_torch()
+        return self._teacher_params_12
+
+    def checkpoint_boundaries(self, total: int):
+        n = total // self.examples_per_checkpoint
+        return [self.examples_per_checkpoint * (i + 1) for i in range(n)]
+
+    # -- face student ------------------------------------------------------
+
+    def make_face_trainer(self) -> Trainer:
+        config = self.config
+        step = recipes.make_face_distill_step(
+            self.teacher_cfg_12, self.face_student_cfg, self.compute_dtype
+        )
+        teacher_params = self.teacher_params_12()
+        image = self.character_image
+        mask = jnp.asarray(recipes.load_face_mask_crop(config.face_mask_image_file_name))
+
+        def train_step(params, opt_state, batch, lr, weights, key):
+            return step(params, opt_state, teacher_params, image, mask, batch, lr)
+
+        def make_batch(key, n):
+            return self.pose_source.batch(key, n)
+
+        def init_params(key):
+            return siren.siren_face_morpher_init(key, self.face_student_cfg)
+
+        def sample_fn(params, examples_seen):
+            self._write_face_samples(params, teacher_params, image, examples_seen)
+
+        cadence = config.face_morpher_num_training_examples_per_sample_output
+        return Trainer(
+            TrainerConfig(
+                prefix=config.face_morpher_prefix(),
+                checkpoint_examples=self.checkpoint_boundaries(self.face_total_examples),
+                total_batch_size=config.face_morpher_batch_size,
+                examples_per_snapshot=self.examples_per_snapshot,
+                examples_per_sample_output=cadence,
+                random_seed=config.face_morpher_random_seed_0,
+            ),
+            init_params=init_params,
+            init_opt_state=recipes.adam_init,
+            train_step=train_step,
+            make_batch=make_batch,
+            lr_fn=recipes.default_face_lr_fn(),
+            sample_output_fn=sample_fn if cadence is not None else None,
+        )
+
+    def _write_face_samples(self, params, teacher_params, image, examples_seen):
+        """8 poses x (teacher GT | student) grid
+        (reference siren_face_morpher_protocols_00.py sample grids)."""
+        config = self.config
+        key = jax.random.PRNGKey(config.face_morpher_random_seed_1 & 0xFFFFFFFF)
+        poses = self.pose_source.batch(key, 8)
+        n = poses.shape[0]
+        image_b = jnp.broadcast_to(image, (n,) + image.shape[1:])
+        touts = mode_12.compute_outputs(self.teacher_cfg_12, teacher_params, image_b, poses)
+        gt = np.asarray(
+            touts[mode_12.INDEX_FACE_MORPHED_IMAGE][
+                :, recipes.FACE_CROP_Y0 : recipes.FACE_CROP_Y0 + 128,
+                recipes.FACE_CROP_X0 : recipes.FACE_CROP_X0 + 128, :
+            ]
+        )
+        pred = np.asarray(
+            siren.siren_face_morpher_apply(self.face_student_cfg, params, poses[:, :39])
+        )
+        cells = [
+            [(gt[i], sample_output.ImageType.COLOR), (pred[i], sample_output.ImageType.COLOR)]
+            for i in range(n)
+        ]
+        path = sample_output.sample_output_file_name(config.face_morpher_prefix(), examples_seen)
+        sample_output.save_sample_grid(cells, path, cell_size=128)
+
+    # -- body student ------------------------------------------------------
+
+    def make_body_trainer(self, phases=None) -> Trainer:
+        config = self.config
+        phases = phases or recipes.default_body_phases()
+        step = recipes.make_body_distill_step(
+            self.teacher_cfg_07, self.body_student_cfg, self.compute_dtype
+        )
+        teacher_params = self.teacher_params_07()
+        image = self.character_image
+
+        def train_step(params, opt_state, batch, lr, weights, key):
+            w = jnp.asarray([weights[t] for t in recipes.BODY_LOSS_TERMS], jnp.float32)
+            return step(params, opt_state, teacher_params, image, batch, lr, w)
+
+        def make_batch(key, n):
+            return self.pose_source.batch(key, n)
+
+        def init_params(key):
+            return siren.siren_morpher_init(key, self.body_student_cfg)
+
+        def sample_fn(params, examples_seen):
+            self._write_body_samples(params, teacher_params, image, examples_seen)
+
+        cadence = config.body_morpher_num_training_examples_per_sample_output
+        return Trainer(
+            TrainerConfig(
+                prefix=config.body_morpher_prefix(),
+                checkpoint_examples=self.checkpoint_boundaries(self.body_total_examples),
+                total_batch_size=config.body_morpher_batch_size,
+                examples_per_snapshot=self.examples_per_snapshot,
+                examples_per_sample_output=cadence,
+                random_seed=config.body_morpher_random_seed_0,
+            ),
+            init_params=init_params,
+            init_opt_state=recipes.adam_init,
+            train_step=train_step,
+            make_batch=make_batch,
+            lr_fn=phases.learning_rate,
+            loss_weights_fn=lambda e: phases.loss_weights(recipes.BODY_LOSS_TERMS, e),
+            sample_output_fn=sample_fn if cadence is not None else None,
+        )
+
+    def _write_body_samples(self, params, teacher_params, image, examples_seen):
+        """4 poses x (gt | student | alpha | grid-change) grid
+        (reference siren_morpher_protocols_03.py:217-352)."""
+        config = self.config
+        key = jax.random.PRNGKey(config.body_morpher_random_seed_1 & 0xFFFFFFFF)
+        poses = self.pose_source.batch(key, 4)
+        n = poses.shape[0]
+        image_b = jnp.broadcast_to(image, (n,) + image.shape[1:])
+        touts = mode_07.compute_outputs(self.teacher_cfg_07, teacher_params, image_b, poses)
+        gt_posed = np.asarray(touts[0])
+        student_input = touts[mode_07.INDEX_FACE_MORPHED_FULL]
+        souts = siren.siren_morpher_apply(self.body_student_cfg, params, student_input, poses)
+        pred = np.asarray(souts[siren.SIREN_MORPHER_INDEX_BLENDED_IMAGE])
+        alpha = np.asarray(souts[siren.SIREN_MORPHER_INDEX_ALPHA])
+        grid = np.asarray(souts[siren.SIREN_MORPHER_INDEX_GRID_CHANGE])
+        cells = [
+            [
+                (gt_posed[i], sample_output.ImageType.COLOR),
+                (pred[i], sample_output.ImageType.COLOR),
+                (alpha[i], sample_output.ImageType.ALPHA),
+                (grid[i], sample_output.ImageType.GRID_CHANGE),
+            ]
+            for i in range(n)
+        ]
+        path = sample_output.sample_output_file_name(config.body_morpher_prefix(), examples_seen)
+        sample_output.save_sample_grid(cells, path, cell_size=512)
+
+    # -- task DAG (reference distiller_config.py:250-310) ------------------
+
+    def define_tasks(self, workspace: Workspace) -> None:
+        config = self.config
+
+        @file_task(workspace, config.config_yaml_file_name(), [])
+        def create_config_yaml():
+            config.save(config.config_yaml_file_name())
+
+        def student_tasks(prefix: str, total: int, make_trainer: Callable[[], Trainer]):
+            boundaries = self.checkpoint_boundaries(total)
+            prev = [config.config_yaml_file_name()]
+            for i, boundary in enumerate(boundaries):
+                index = i + 1
+                target_file = os.path.join(ckpt.checkpoint_dir(prefix, index), "module_module.npz")
+
+                def run(boundary=boundary):
+                    make_trainer().train(boundary)
+
+                workspace.create_file_task(target_file, list(prev), run)
+                prev = [target_file]
+            workspace.create_command_task(f"{prefix}/train", list(prev))
+            return prev[0]
+
+        face_final = student_tasks(
+            config.face_morpher_prefix(), self.face_total_examples, self.make_face_trainer
+        )
+        body_final = student_tasks(
+            config.body_morpher_prefix(), self.body_total_examples, self.make_body_trainer
+        )
+
+        @file_task(workspace, config.character_model_character_png_file_name(), [config.character_image_file_name])
+        def copy_character_image():
+            copy_file(config.character_image_file_name, config.character_model_character_png_file_name())
+
+        @file_task(workspace, config.character_model_face_morpher_file_name(), [face_final])
+        def export_face_morpher():
+            self._export_student(
+                config.face_morpher_prefix(),
+                self.face_total_examples,
+                lambda key: siren.siren_face_morpher_init(key, self.face_student_cfg),
+                "face",
+                config.character_model_face_morpher_file_name(),
+            )
+
+        @file_task(workspace, config.character_model_body_morpher_file_name(), [body_final])
+        def export_body_morpher():
+            self._export_student(
+                config.body_morpher_prefix(),
+                self.body_total_examples,
+                lambda key: siren.siren_morpher_init(key, self.body_student_cfg),
+                "body",
+                config.character_model_body_morpher_file_name(),
+            )
+
+        @file_task(workspace, config.character_model_yaml_file_name(), [])
+        def create_character_model_yaml():
+            model = CharacterModel(
+                config.character_model_character_png_file_name(),
+                config.character_model_face_morpher_file_name(),
+                config.character_model_body_morpher_file_name(),
+            )
+            model.save(config.character_model_yaml_file_name())
+
+        workspace.create_command_task(
+            f"{config.prefix}/all",
+            [
+                f"{config.face_morpher_prefix()}/train",
+                f"{config.body_morpher_prefix()}/train",
+                config.character_model_character_png_file_name(),
+                config.character_model_face_morpher_file_name(),
+                config.character_model_body_morpher_file_name(),
+                config.character_model_yaml_file_name(),
+            ],
+        )
+
+    def _export_student(self, prefix, total, init_fn, kind, dest):
+        from tha4_tpu.convert import export_torch
+
+        index = total // self.examples_per_checkpoint
+        directory = ckpt.checkpoint_dir(prefix, index)
+        template = init_fn(jax.random.PRNGKey(0))
+        flat = ckpt._load_npz(os.path.join(directory, "module_module.npz"))
+        params = ckpt.unflatten_into(template, flat)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        if kind == "face":
+            export_torch.save_face_morpher_pt(params, dest)
+        else:
+            export_torch.save_body_morpher_pt(params, dest)
+
+
+def run_config(config: DistillerConfig, **kwargs) -> None:
+    """The distill entry (reference app/distill.py:8-25)."""
+    jobs = DistillationJobs(config, **kwargs)
+    workspace = Workspace()
+    jobs.define_tasks(workspace)
+    workspace.run(f"{config.prefix}/all")

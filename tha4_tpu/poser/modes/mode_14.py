@@ -120,18 +120,32 @@ def create_poser(
 ) -> StudentPoser:
     """Build the student poser from torch .pt checkpoints or fresh params
     (reference: src/tha4/poser/modes/mode_14.py:134-161)."""
-    from tha4_tpu.convert import torch_weights as tw
-
     module_file_names = dict(module_file_names or {})
     module_file_names.setdefault(KEY_FACE_MORPHER, "data/character_models/lambda_00/face_morpher.pt")
     module_file_names.setdefault(KEY_BODY_MORPHER, "data/character_models/lambda_00/body_morpher.pt")
 
     params = {
-        KEY_FACE_MORPHER: jax.tree.map(
-            jnp.asarray, tw.convert_siren_face_morpher(tw.load_torch_state_dict(module_file_names[KEY_FACE_MORPHER]))
-        ),
-        KEY_BODY_MORPHER: jax.tree.map(
-            jnp.asarray, tw.convert_siren_morpher(tw.load_torch_state_dict(module_file_names[KEY_BODY_MORPHER]))
-        ),
+        KEY_FACE_MORPHER: _load_student(module_file_names[KEY_FACE_MORPHER], "face"),
+        KEY_BODY_MORPHER: _load_student(module_file_names[KEY_BODY_MORPHER], "body"),
     }
     return StudentPoser(params, default_output_index=default_output_index, compute_dtype=compute_dtype)
+
+
+def _load_student(path: str, kind: str):
+    """Accepts both the reference's torch .pt format and this framework's
+    native .npz checkpoints."""
+    if path.endswith(".npz"):
+        from tha4_tpu.models import siren as s
+        from tha4_tpu.training import checkpoint as ckpt
+
+        if kind == "face":
+            template = s.siren_face_morpher_init(jax.random.PRNGKey(0), s.SirenFaceMorpherConfig())
+        else:
+            template = s.siren_morpher_init(jax.random.PRNGKey(0), s.SirenMorpherConfig())
+        flat = ckpt._load_npz(path)
+        return jax.tree.map(jnp.asarray, ckpt.unflatten_into(template, flat))
+    from tha4_tpu.convert import torch_weights as tw
+
+    sd = tw.load_torch_state_dict(path)
+    converted = tw.convert_siren_face_morpher(sd) if kind == "face" else tw.convert_siren_morpher(sd)
+    return jax.tree.map(jnp.asarray, converted)

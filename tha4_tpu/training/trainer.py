@@ -49,7 +49,9 @@ class TrainerConfig:
     total_batch_size: int = 8
     examples_per_snapshot: int = 10_000
     examples_per_sample_output: Optional[int] = 10_000
+    examples_per_validation: Optional[int] = None
     random_seed: int = 2965603729
+    validation_random_seed: int = 3522651501
     log_every_seconds: float = 10.0
 
 
@@ -77,6 +79,7 @@ class Trainer:
         lr_fn: Callable[[int], float],
         loss_weights_fn: Optional[Callable[[int], Dict[str, float]]] = None,
         sample_output_fn: Optional[Callable] = None,
+        validation_fn: Optional[Callable] = None,
         module_name: str = KEY_MODULE,
     ):
         self.cfg = cfg
@@ -87,6 +90,7 @@ class Trainer:
         self.lr_fn = lr_fn
         self.loss_weights_fn = loss_weights_fn or (lambda e: {})
         self.sample_output_fn = sample_output_fn
+        self.validation_fn = validation_fn
         self.module_name = module_name
 
     # -- state ------------------------------------------------------------
@@ -142,6 +146,8 @@ class Trainer:
         next_snapshot = get_least_greater_multiple(examples_seen, cfg.examples_per_snapshot)
         if cfg.examples_per_sample_output is not None:
             next_sample = get_least_greater_multiple(max(examples_seen - 1, 0), cfg.examples_per_sample_output)
+        if cfg.examples_per_validation is not None:
+            next_validation = get_least_greater_multiple(examples_seen, cfg.examples_per_validation)
         checkpoints_due = [c for c in cfg.checkpoint_examples if c > examples_seen and c <= target_examples]
 
         if self.sample_output_fn is not None and cfg.examples_per_sample_output is not None and examples_seen == 0:
@@ -182,6 +188,19 @@ class Trainer:
                 ):
                     self.sample_output_fn(params, examples_seen)
                     next_sample = get_least_greater_multiple(examples_seen, cfg.examples_per_sample_output)
+
+                if (
+                    self.validation_fn is not None
+                    and cfg.examples_per_validation is not None
+                    and examples_seen >= next_validation
+                ):
+                    vkey = jax.random.PRNGKey(cfg.validation_random_seed & 0xFFFFFFFF)
+                    vmetrics = self.validation_fn(params, vkey, examples_seen)
+                    row = {f"validation_{k}": float(v) for k, v in vmetrics.items()}
+                    row["examples_seen"] = examples_seen
+                    log_file.write(json.dumps(row) + "\n")
+                    log_file.flush()
+                    next_validation = get_least_greater_multiple(examples_seen, cfg.examples_per_validation)
 
                 while checkpoints_due and examples_seen >= checkpoints_due[0]:
                     boundary = checkpoints_due.pop(0)
