@@ -61,19 +61,34 @@ def test_face_distill_smoke(tmp_path):
         teacher_params_12=tparams,
         teacher_cfg_12=tcfg,
         compute_dtype=jnp.float32,
-        face_total_examples=160,
-        examples_per_checkpoint=80,
-        examples_per_snapshot=40,
+        face_total_examples=320,
+        examples_per_checkpoint=160,
+        examples_per_snapshot=80,
     )
     trainer = jobs.make_face_trainer()
-    result = trainer.train(160)
-    assert result["examples_seen"] == 160
 
-    # loss decreased over the run
-    with open(os.path.join(config.face_morpher_prefix(), "log", "scalars.jsonl")) as f:
-        rows = [json.loads(line) for line in f]
-    if len(rows) >= 2:
-        assert rows[-1]["loss"] < rows[0]["loss"]
+    # Fixed-batch eval loss before vs after training (lr=0 "step" = eval).
+    from tha4_tpu.distiller import recipes
+    from tha4_tpu.models import siren
+
+    eval_step = recipes.make_face_distill_step(tcfg, siren.SirenFaceMorpherConfig(), jnp.float32)
+    image = jobs.character_image
+    mask = jnp.asarray(recipes.load_face_mask_crop(config.face_mask_image_file_name))
+    eval_poses = jobs.pose_source.batch(jax.random.PRNGKey(99), 8)
+
+    def eval_loss(params):
+        p = jax.tree.map(jnp.copy, params)  # real copy: the step donates its input
+        opt = recipes.adam_init(p)
+        _, _, m = eval_step(p, opt, tparams, image, mask, eval_poses, 0.0)
+        return float(m["loss"])
+
+    init_params = trainer.init_params(jax.random.PRNGKey(0))
+    loss_before = eval_loss(init_params)
+
+    result = trainer.train(320)
+    assert result["examples_seen"] == 320
+    loss_after = eval_loss(result["params"])
+    assert loss_after < loss_before, (loss_before, loss_after)
 
     assert ckpt.can_load(ckpt.checkpoint_dir(config.face_morpher_prefix(), 2), ["module"])
 

@@ -107,18 +107,20 @@ class DistillationJobs:
 
     def make_face_trainer(self) -> Trainer:
         config = self.config
-        step = recipes.make_face_distill_step(
-            self.teacher_cfg_12, self.face_student_cfg, self.compute_dtype
-        )
         teacher_params = self.teacher_params_12()
         image = self.character_image
         mask = jnp.asarray(recipes.load_face_mask_crop(config.face_mask_image_file_name))
 
-        def train_step(params, opt_state, batch, lr, weights, key):
-            return step(params, opt_state, teacher_params, image, mask, batch, lr)
+        chunk = recipes.make_face_distill_chunk(
+            self.teacher_cfg_12,
+            self.face_student_cfg,
+            self.pose_source.batch,
+            config.face_morpher_batch_size,
+            self.compute_dtype,
+        )
 
-        def make_batch(key, n):
-            return self.pose_source.batch(key, n)
+        def train_chunk(params, opt_state, chunk_key, examples_seen, lr, weights, n_steps):
+            return chunk(params, opt_state, teacher_params, image, mask, chunk_key, lr, n_steps=n_steps)
 
         def init_params(key):
             return siren.siren_face_morpher_init(key, self.face_student_cfg)
@@ -135,11 +137,12 @@ class DistillationJobs:
                 examples_per_snapshot=self.examples_per_snapshot,
                 examples_per_sample_output=cadence,
                 random_seed=config.face_morpher_random_seed_0,
+                max_chunk_steps=1024,  # ~18 s/dispatch at 17 ms/step
             ),
             init_params=init_params,
             init_opt_state=recipes.adam_init,
-            train_step=train_step,
-            make_batch=make_batch,
+            train_chunk=train_chunk,
+            schedule_boundaries=[200_000, 500_000, 800_000],  # face lr ladder
             lr_fn=recipes.default_face_lr_fn(),
             sample_output_fn=sample_fn if cadence is not None else None,
         )
@@ -174,18 +177,20 @@ class DistillationJobs:
     def make_body_trainer(self, phases=None) -> Trainer:
         config = self.config
         phases = phases or recipes.default_body_phases()
-        step = recipes.make_body_distill_step(
-            self.teacher_cfg_07, self.body_student_cfg, self.compute_dtype
-        )
         teacher_params = self.teacher_params_07()
         image = self.character_image
 
-        def train_step(params, opt_state, batch, lr, weights, key):
-            w = jnp.asarray([weights[t] for t in recipes.BODY_LOSS_TERMS], jnp.float32)
-            return step(params, opt_state, teacher_params, image, batch, lr, w)
+        chunk = recipes.make_body_distill_chunk(
+            self.teacher_cfg_07,
+            self.body_student_cfg,
+            self.pose_source.batch,
+            config.body_morpher_batch_size,
+            self.compute_dtype,
+        )
 
-        def make_batch(key, n):
-            return self.pose_source.batch(key, n)
+        def train_chunk(params, opt_state, chunk_key, examples_seen, lr, weights, n_steps):
+            w = jnp.asarray([weights[t] for t in recipes.BODY_LOSS_TERMS], jnp.float32)
+            return chunk(params, opt_state, teacher_params, image, chunk_key, lr, w, n_steps=n_steps)
 
         def init_params(key):
             return siren.siren_morpher_init(key, self.body_student_cfg)
@@ -202,11 +207,13 @@ class DistillationJobs:
                 examples_per_snapshot=self.examples_per_snapshot,
                 examples_per_sample_output=cadence,
                 random_seed=config.body_morpher_random_seed_0,
+                max_chunk_steps=64,  # ~16 s/dispatch at 254 ms/step (axon
+                # worker watchdog kills single executions near ~60 s)
             ),
             init_params=init_params,
             init_opt_state=recipes.adam_init,
-            train_step=train_step,
-            make_batch=make_batch,
+            train_chunk=train_chunk,
+            schedule_boundaries=[p.num_examples_upper_bound for p in phases.phases],
             lr_fn=phases.learning_rate,
             loss_weights_fn=lambda e: phases.loss_weights(recipes.BODY_LOSS_TERMS, e),
             sample_output_fn=sample_fn if cadence is not None else None,

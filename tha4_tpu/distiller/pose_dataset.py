@@ -51,8 +51,14 @@ _EYE = (12, 24)
 _MOUTH_SHAPES = (26, 32)  # aaa iii uuu eee ooo delta (one-hot-ish)
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=1)
 def sample_poses(key: jax.Array, n: int) -> jnp.ndarray:
-    """(n, 45) poses on device; pure function of the key."""
+    """(n, 45) poses on device; pure function of the key. Jitted: the host
+    loop dispatches ONE program per batch (tunnel round-trips are the real
+    per-step cost on axon)."""
     k_u, k_eb, k_eye, k_mouth, k_scale = jax.random.split(key, 5)
     lo = jnp.asarray(_LOWS)
     hi = jnp.asarray(_HIGHS)

@@ -144,6 +144,112 @@ def make_face_distill_step(
     return step
 
 
+def make_face_distill_chunk(
+    teacher_cfg: mode_12.FaceTeacherConfig,
+    student_cfg: siren.SirenFaceMorpherConfig,
+    pose_batch_fn,
+    batch_size: int,
+    compute_dtype=jnp.bfloat16,
+):
+    """Multi-step fused trainer: ONE dispatch runs ``n_steps`` optimization
+    steps via lax.scan, with pose-batch sampling inside the compiled program.
+
+    On the axon tunnel each dispatch costs ~10-15 ms of host overhead, which
+    dwarfs the ~1 ms of per-step compute; scanning a whole cadence window
+    (e.g. 10k examples) per dispatch removes it.  Per-step RNG is
+    fold_in(chunk_key, step), so results are independent of how the driver
+    partitions steps into chunks.
+    """
+    def loss_fn(params, teacher_params, image, mask, poses):
+        n = poses.shape[0]
+        image_b = jnp.broadcast_to(image.astype(compute_dtype), (n,) + image.shape[1:])
+        teacher_outs = mode_12.compute_outputs(
+            teacher_cfg, teacher_params, image_b, poses.astype(compute_dtype)
+        )
+        face_morphed = jax.lax.stop_gradient(teacher_outs[mode_12.INDEX_FACE_MORPHED_IMAGE])
+        gt = face_morphed[:, FACE_CROP_Y0 : FACE_CROP_Y0 + 128, FACE_CROP_X0 : FACE_CROP_X0 + 128, :]
+        gt = gt.astype(jnp.float32)
+        pred = siren.siren_face_morpher_apply(
+            student_cfg, params, poses[:, : student_cfg.pose_size].astype(compute_dtype)
+        ).astype(jnp.float32)
+        return losses.sum_named(
+            [
+                ("full", losses.l1(gt, pred, weight=1.0)),
+                ("eye_mouth", losses.masked_l1(gt, pred, mask[None], weight=20.0)),
+            ]
+        )
+
+    @functools.partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(0, 1))
+    def chunk(params, opt_state, teacher_params, image, mask, chunk_key, lr, n_steps):
+        def body(carry, i):
+            params, opt_state = carry
+            poses = pose_batch_fn(jax.random.fold_in(chunk_key, i), batch_size)
+            (loss, named), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, teacher_params, image, mask, poses
+            )
+            params, opt_state = adam_update(grads, opt_state, params, lr)
+            return (params, opt_state), named
+
+        (params, opt_state), metrics = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(n_steps)
+        )
+        last = jax.tree.map(lambda x: x[-1], metrics)
+        return params, opt_state, last
+
+    return chunk
+
+
+def make_body_distill_chunk(
+    teacher_cfg: mode_07.TeacherConfig,
+    student_cfg: siren.SirenMorpherConfig,
+    pose_batch_fn,
+    batch_size: int,
+    compute_dtype=jnp.bfloat16,
+):
+    """Body-student analogue of make_face_distill_chunk."""
+
+    def loss_fn(params, teacher_params, image, poses, weights):
+        n = poses.shape[0]
+        image_b = jnp.broadcast_to(image.astype(compute_dtype), (n,) + image.shape[1:])
+        t = mode_07.compute_outputs(teacher_cfg, teacher_params, image_b, poses.astype(compute_dtype))
+        gt_posed = jax.lax.stop_gradient(t[0]).astype(jnp.float32)
+        gt_warped = jax.lax.stop_gradient(t[2]).astype(jnp.float32)
+        gt_grid = jax.lax.stop_gradient(t[3]).astype(jnp.float32)
+        student_input = jax.lax.stop_gradient(t[mode_07.INDEX_FACE_MORPHED_FULL])
+        outs = siren.siren_morpher_apply(student_cfg, params, student_input, poses.astype(compute_dtype))
+        pred_blended = outs[siren.SIREN_MORPHER_INDEX_BLENDED_IMAGE].astype(jnp.float32)
+        pred_warped = outs[siren.SIREN_MORPHER_INDEX_WARPED_IMAGE].astype(jnp.float32)
+        pred_grid = outs[siren.SIREN_MORPHER_INDEX_GRID_CHANGE].astype(jnp.float32)
+        pred_color = outs[siren.SIREN_MORPHER_INDEX_COLOR_CHANGE].astype(jnp.float32)
+        return losses.sum_named(
+            [
+                ("full_blended", weights[0] * losses.l1(gt_posed, pred_blended)),
+                ("full_warped", weights[1] * losses.l1(gt_warped, pred_warped)),
+                ("full_grid_change", weights[2] * losses.l1(gt_grid, pred_grid)),
+                ("full_color_change", weights[3] * losses.l1(gt_posed, pred_color)),
+            ]
+        )
+
+    @functools.partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(0, 1))
+    def chunk(params, opt_state, teacher_params, image, chunk_key, lr, weights, n_steps):
+        def body(carry, i):
+            params, opt_state = carry
+            poses = pose_batch_fn(jax.random.fold_in(chunk_key, i), batch_size)
+            (loss, named), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, teacher_params, image, poses, weights
+            )
+            params, opt_state = adam_update(grads, opt_state, params, lr)
+            return (params, opt_state), named
+
+        (params, opt_state), metrics = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(n_steps)
+        )
+        last = jax.tree.map(lambda x: x[-1], metrics)
+        return params, opt_state, last
+
+    return chunk
+
+
 # ---------------------------------------------------------------------------
 # Body student
 # ---------------------------------------------------------------------------

@@ -1,0 +1,257 @@
+"""Pallas TPU kernel for bilinear grid sampling (the hot warp op).
+
+XLA's gather lowering runs the 512x512x8 warp in ~50-70 ms on a v5e chip
+(~2 ns/element) — it dominates the whole distillation step (SURVEY.md section
+7 hot-op list).  This kernel reformulates the gather as MXU/VPU work:
+
+  * The source image stays resident in VMEM (512x512x4 bf16 = 2 MB << 16 MB).
+  * Per 8x128 output tile, a (KH, KW) window is dynamically sliced around the
+    tile's minimum source coordinate (pl.ds with runtime starts).
+  * The VERTICAL pick+lerp is ONE matmul per channel: a (P, KH) one-hot
+    matrix with the two row weights (1-ty, ty) folded in, times the
+    (KH, KW) window -> the MXU does the gather.
+  * The HORIZONTAL pick+lerp is a folded one-hot mask multiply + lane
+    reduction on the VPU.
+
+Semantics: torch grid_sample(mode='bilinear', padding_mode='border',
+align_corners=False), as in ops.warp.grid_sample_bilinear_border, EXCEPT
+displacements are clamped to the window: a sample farther than
+(KH - TILE_H)/2 rows or (KW - TILE_W)/2 columns from its output pixel clamps
+to the window edge.  THA4 flow fields are smooth conv outputs bounded well
+inside these budgets (~119 rows / ~63 cols at 512px); the pure-jnp fallback
+remains the reference semantics.
+
+The custom VJP differentiates w.r.t. the grid only (all THA4 training paths
+stop gradients at the warped image; the reference's students likewise only
+backprop into their own grid_change).  Image cotangents raise.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_H = 8
+
+
+def _tile_w(w: int) -> int:
+    if w % 128 == 0:
+        return 128
+    if w % 64 == 0:
+        return 64
+    raise ValueError(f"width {w} not divisible by 64")
+
+
+def _window(h: int, w: int, tw: int) -> Tuple[int, int]:
+    # Window sizes leave room for the alignment of the dynamic base (sublane
+    # 8 / lane 128) plus the tile extent plus the displacement budget.
+    kh = min(128, h)
+    kw = min(tw + 256, w)
+    kw = min(-(-kw // 128) * 128, w) if w % 128 == 0 else w
+    return kh, kw
+
+
+def _coords(gx_ref, gy_ref, h, w, w_mem, kh, kw):
+    """Shared coordinate/window math for fwd and bwd kernels.
+
+    ``w`` is the true image width (coordinate semantics); ``w_mem`` the padded
+    lane-aligned memory width used for window slicing.
+    """
+    gx = gx_ref[0].astype(jnp.float32)  # (TH, TW)
+    gy = gy_ref[0].astype(jnp.float32)
+    ix = jnp.clip(((gx + 1.0) * w - 1.0) * 0.5, 0.0, w - 1.0)
+    iy = jnp.clip(((gy + 1.0) * h - 1.0) * 0.5, 0.0, h - 1.0)
+    ix0 = jnp.floor(ix)
+    iy0 = jnp.floor(iy)
+    tx = ix - ix0
+    ty = iy - iy0
+    ix0 = ix0.astype(jnp.int32)
+    iy0 = iy0.astype(jnp.int32)
+    ix1 = jnp.minimum(ix0 + 1, w - 1)
+    iy1 = jnp.minimum(iy0 + 1, h - 1)
+    # Aligned dynamic-slice base (Mosaic requires provable alignment).
+    by = pl.multiple_of(jnp.clip(jnp.min(iy0) & ~7, 0, h - kh), 8)
+    bx = pl.multiple_of(jnp.clip(jnp.min(ix0) & ~127, 0, max(w_mem - kw, 0)), 128)
+    ly0 = jnp.clip(iy0 - by, 0, kh - 1)
+    ly1 = jnp.clip(iy1 - by, 0, kh - 1)
+    lx0 = jnp.clip(ix0 - bx, 0, kw - 1)
+    lx1 = jnp.clip(ix1 - bx, 0, kw - 1)
+    return gx, gy, tx, ty, by, bx, ly0, ly1, lx0, lx1
+
+
+def _fwd_kernel(gx_ref, gy_ref, img_ref, out_ref, *, h, w, w_mem, kh, kw, th, tw, c):
+    _, _, tx, ty, by, bx, ly0, ly1, lx0, lx1 = _coords(gx_ref, gy_ref, h, w, w_mem, kh, kw)
+    krow = jax.lax.broadcasted_iota(jnp.int32, (th, tw, kh), 2)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (th, tw, kw), 2)
+    # Folded one-hots: vertical carries the row lerp; horizontal the col lerp.
+    # f32 one-hots: bf16 lerp weights would quantize the interpolation to
+    # ~0.4% error; f32 MXU at half rate is still far from the bottleneck.
+    ohv = (
+        jnp.where(krow == ly0[..., None], (1.0 - ty)[..., None], 0.0)
+        + jnp.where(krow == ly1[..., None], ty[..., None], 0.0)
+    ).reshape(th * tw, kh)
+    ohh = jnp.where(kcol == lx0[..., None], (1.0 - tx)[..., None], 0.0) + jnp.where(
+        kcol == lx1[..., None], tx[..., None], 0.0
+    )
+    for ch in range(c):
+        win = img_ref[0, ch, pl.ds(by, kh), pl.ds(bx, kw)].astype(jnp.float32)
+        v = jax.lax.dot_general(
+            ohv, win, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(th, tw, kw)
+        out_ref[0, ch] = jnp.sum(v * ohh, axis=-1).astype(out_ref.dtype)
+
+
+def _bwd_kernel(gx_ref, gy_ref, img_ref, dout_ref, dgx_ref, dgy_ref, *, h, w, w_mem, kh, kw, th, tw, c):
+    gx, gy, tx, ty, by, bx, ly0, ly1, lx0, lx1 = _coords(gx_ref, gy_ref, h, w, w_mem, kh, kw)
+    krow = jax.lax.broadcasted_iota(jnp.int32, (th, tw, kh), 2)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (th, tw, kw), 2)
+    # Pure 0/1 one-hots are exact in bf16 (halves the VMEM footprint); match
+    # the image dtype so f32 inputs keep f32 corners.
+    wdt = jnp.bfloat16 if img_ref.dtype == jnp.bfloat16 else jnp.float32
+    oh0 = (krow == ly0[..., None]).astype(wdt).reshape(th * tw, kh)
+    oh1 = (krow == ly1[..., None]).astype(wdt).reshape(th * tw, kh)
+    m0 = (kcol == lx0[..., None]).astype(jnp.bfloat16)
+    m1 = (kcol == lx1[..., None]).astype(jnp.bfloat16)
+
+    dv_dix_tot = jnp.zeros((th, tw), jnp.float32)
+    dv_diy_tot = jnp.zeros((th, tw), jnp.float32)
+    dn = (((1,), (0,)), ((), ()))
+    for ch in range(c):
+        win = img_ref[0, ch, pl.ds(by, kh), pl.ds(bx, kw)].astype(wdt)
+        r0 = jax.lax.dot_general(oh0, win, dn, preferred_element_type=jnp.float32).reshape(th, tw, kw)
+        r1 = jax.lax.dot_general(oh1, win, dn, preferred_element_type=jnp.float32).reshape(th, tw, kw)
+        v00 = jnp.sum(r0 * m0.astype(jnp.float32), axis=-1)
+        v01 = jnp.sum(r0 * m1.astype(jnp.float32), axis=-1)
+        v10 = jnp.sum(r1 * m0.astype(jnp.float32), axis=-1)
+        v11 = jnp.sum(r1 * m1.astype(jnp.float32), axis=-1)
+        dout = dout_ref[0, ch].astype(jnp.float32)
+        top_dx = v01 - v00
+        bot_dx = v11 - v10
+        dv_dix_tot += dout * (top_dx + (bot_dx - top_dx) * ty)
+        top = v00 + top_dx * tx
+        bot = v10 + bot_dx * tx
+        dv_diy_tot += dout * (bot - top)
+
+    # Chain through unnormalize + border clamp (zero grad where clamped).
+    ix_un = ((gx + 1.0) * w - 1.0) * 0.5
+    iy_un = ((gy + 1.0) * h - 1.0) * 0.5
+    gxmask = ((ix_un > 0.0) & (ix_un < w - 1.0)).astype(jnp.float32)
+    gymask = ((iy_un > 0.0) & (iy_un < h - 1.0)).astype(jnp.float32)
+    dgx_ref[0] = (dv_dix_tot * gxmask * (0.5 * w)).astype(dgx_ref.dtype)
+    dgy_ref[0] = (dv_diy_tot * gymask * (0.5 * h)).astype(dgy_ref.dtype)
+
+
+def _forward_impl(image_nchw: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray, true_w: int) -> jnp.ndarray:
+    n, c, h, w = image_nchw.shape
+    ho, wo = gx.shape[1], gx.shape[2]
+    th, tw = TILE_H, _tile_w(wo)
+    kh, kw = _window(h, w, tw)
+    kernel = functools.partial(_fwd_kernel, h=h, w=true_w, w_mem=w, kh=kh, kw=kw, th=th, tw=tw, c=c)
+    return pl.pallas_call(
+        kernel,
+        grid=(n, ho // th, wo // tw),
+        in_specs=[
+            pl.BlockSpec((1, th, tw), lambda nn, i, j: (nn, i, j)),
+            pl.BlockSpec((1, th, tw), lambda nn, i, j: (nn, i, j)),
+            pl.BlockSpec((1, c, h, w), lambda nn, i, j: (nn, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, c, th, tw), lambda nn, i, j: (nn, 0, i, j)),
+        out_shape=jax.ShapeDtypeStruct((n, c, ho, wo), image_nchw.dtype),
+    )(gx, gy, image_nchw)
+
+
+def _backward_impl(image_nchw, gx, gy, dout_nchw, true_w: int):
+    n, c, h, w = image_nchw.shape
+    ho, wo = gx.shape[1], gx.shape[2]
+    th, tw = TILE_H, _tile_w(wo)
+    kh, kw = _window(h, w, tw)
+    kernel = functools.partial(_bwd_kernel, h=h, w=true_w, w_mem=w, kh=kh, kw=kw, th=th, tw=tw, c=c)
+    dgx, dgy = pl.pallas_call(
+        kernel,
+        grid=(n, ho // th, wo // tw),
+        in_specs=[
+            pl.BlockSpec((1, th, tw), lambda nn, i, j: (nn, i, j)),
+            pl.BlockSpec((1, th, tw), lambda nn, i, j: (nn, i, j)),
+            pl.BlockSpec((1, c, h, w), lambda nn, i, j: (nn, 0, 0, 0)),
+            pl.BlockSpec((1, c, th, tw), lambda nn, i, j: (nn, 0, i, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, th, tw), lambda nn, i, j: (nn, i, j)),
+            pl.BlockSpec((1, th, tw), lambda nn, i, j: (nn, i, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, ho, wo), jnp.float32),
+            jax.ShapeDtypeStruct((n, ho, wo), jnp.float32),
+        ],
+    )(gx, gy, image_nchw, dout_nchw)
+    return dgx, dgy
+
+
+@jax.custom_vjp
+def grid_sample_fast(image: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear border sample of NHWC ``image`` at ``grid`` (N,Ho,Wo,2).
+
+    The image is treated as a CONSTANT (stop_gradient applied): gradients
+    flow to the grid only.  This matches every THA4 training path — students
+    backprop only into their own grid_change and the teacher runs no-grad
+    (reference: siren_morpher_03.py:130 warps the input image, whose
+    cotangent is never consumed).  A recipe that needs image gradients must
+    use ops.warp.grid_sample_bilinear_border.
+    """
+    return _grid_sample_fast_fwd(image, grid)[0]
+
+
+def _pad_width(x, target, axis):
+    pad = target - x.shape[axis]
+    if pad == 0:
+        return x
+    cfg = [(0, 0)] * x.ndim
+    cfg[axis] = (0, pad)
+    return jnp.pad(x, cfg, mode="edge")
+
+
+def _grid_sample_fast_fwd(image, grid):
+    image = jax.lax.stop_gradient(image)
+    n, h, w, c = image.shape
+    ho, wo = grid.shape[1], grid.shape[2]
+    # Mosaic wants 128-multiple lane extents: pad widths up (edge values;
+    # coordinate math still uses the true w) and slice the output back.
+    w_pad = -(-w // 128) * 128
+    wo_pad = -(-wo // 128) * 128
+    image_nchw = jnp.transpose(image, (0, 3, 1, 2))
+    image_nchw = _pad_width(image_nchw, w_pad, 3)
+    gx = _pad_width(grid[..., 0], wo_pad, 2)
+    gy = _pad_width(grid[..., 1], wo_pad, 2)
+    out = _forward_impl(image_nchw, gx, gy, true_w=w)
+    out = out[:, :, :, :wo]
+    return jnp.transpose(out, (0, 2, 3, 1)), (image_nchw, gx, gy, h, w, wo)
+
+
+def _grid_sample_fast_bwd(residual, g):
+    image_nchw, gx, gy, h, w, wo = residual
+    dout = jnp.transpose(g, (0, 3, 1, 2))
+    dout = _pad_width(dout, gx.shape[2], 3) * (
+        (jnp.arange(gx.shape[2]) < wo).astype(g.dtype)
+    )
+    dgx, dgy = _backward_impl(image_nchw, gx, gy, dout, true_w=w)
+    dgrid = jnp.stack([dgx[:, :, :wo], dgy[:, :, :wo]], axis=-1).astype(gx.dtype)
+    dimage = jnp.zeros((image_nchw.shape[0], h, w, image_nchw.shape[1]), g.dtype)
+    return dimage, dgrid
+
+
+grid_sample_fast.defvjp(_grid_sample_fast_fwd, _grid_sample_fast_bwd)
+
+
+def supported(image_shape, grid_shape) -> bool:
+    """Whether the fast kernel handles these shapes (widths are padded to
+    lane multiples internally, so only row-tiling constraints remain)."""
+    n, h, w, c = image_shape
+    ho, wo = grid_shape[1], grid_shape[2]
+    return jax.default_backend() == "tpu" and h % TILE_H == 0 and ho % TILE_H == 0

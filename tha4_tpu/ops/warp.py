@@ -89,16 +89,25 @@ def grid_sample_bilinear_border(image: jnp.ndarray, grid: jnp.ndarray) -> jnp.nd
     return out.astype(image.dtype)
 
 
-def apply_grid_change(grid_change: jnp.ndarray, image: jnp.ndarray) -> jnp.ndarray:
+def apply_grid_change(grid_change: jnp.ndarray, image: jnp.ndarray, fast: str = "auto") -> jnp.ndarray:
     """Warp ``image`` by a grid offset field (both NHWC).
 
     ``grid_change`` is (N, H, W, 2) with last dim (x, y) normalized offsets;
     equivalent to the reference's apply_grid_change / GridChangeApplier.apply
     (reference: src/tha4/nn/image_processing_util.py:13-54) on the NCHW
     (N, 2, H, W) convention.
+
+    ``fast='auto'`` routes to the Pallas MXU kernel on TPU (~5x faster; image
+    treated as constant for autodiff — see ops.pallas_warp); 'never' forces
+    the pure-jnp reference path.
     """
     n, h, w, _ = image.shape
     grid = identity_grid(h, w)[None, ...] + grid_change.astype(jnp.float32)
+    if fast != "never":
+        from tha4_tpu.ops import pallas_warp
+
+        if pallas_warp.supported(image.shape, grid.shape):
+            return pallas_warp.grid_sample_fast(image, jnp.broadcast_to(grid, (n, h, w, 2)))
     return grid_sample_bilinear_border(image, grid)
 
 
