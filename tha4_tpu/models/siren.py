@@ -132,15 +132,21 @@ def siren_face_morpher_apply(
     """pose (N, pose_size) -> (N, S, S, C) RGBA crop.
 
     Position grid = identity affine grid values, broadcast-concat with pose
-    (reference: siren_face_morpher_00.py:34-52).
+    (reference: siren_face_morpher_00.py:34-52).  The whole sine chain runs
+    as one fused Pallas kernel on TPU (ops.pallas_siren).
     """
+    from tha4_tpu.ops import pallas_siren
+
     n = pose.shape[0]
     s = cfg.image_size
-    pos = warp.identity_grid(s, s).astype(pose.dtype)  # (S, S, 2), (x, y)
-    pos = jnp.broadcast_to(pos[None], (n, s, s, 2))
-    pose_img = jnp.broadcast_to(pose[:, None, None, :], (n, s, s, pose.shape[1]))
-    x = jnp.concatenate([pos, pose_img], axis=-1)
-    return siren_apply(cfg.siren, params["siren"], x)
+    pos_t = warp.identity_grid(s, s).reshape(s * s, 2).T.astype(pose.dtype)  # (2, HW)
+    out = pallas_siren.sine_chain_t(
+        None, pos_t, pose, params["siren"]["sine_layers"], params["siren"]["last_linear"], cfg.siren.omega0
+    )  # (N, C, HW)
+    out = jnp.transpose(out.reshape(n, cfg.image_channels, s, s), (0, 2, 3, 1))
+    if cfg.siren.use_tanh:
+        out = jnp.tanh(out)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -219,19 +225,31 @@ def siren_morpher_apply(
     cfg: SirenMorpherConfig, params: Params, image: jnp.ndarray, pose: jnp.ndarray
 ) -> List[jnp.ndarray]:
     """image (N, S, S, C), pose (N, P) -> the 5-output list
-    (reference forward: siren_morpher_03.py:107-139)."""
-    x = None
-    for i, lv in enumerate(cfg.levels):
-        pp = _position_and_pose(pose, lv.image_size)
-        if i == 0:
-            x = pp
-        else:
-            x = resize_bilinear(x, (lv.image_size, lv.image_size))
-            x = jnp.concatenate([x, pp], axis=-1)
-        for layer in params["levels"][i]:
-            x = _sine_linear(layer, x, 30.0)
+    (reference forward: siren_morpher_03.py:107-139).
 
-    out = _linear(params["last_linear"], x)
+    Each coarse-to-fine level runs as one fused Pallas sine-MLP kernel on TPU
+    (ops.pallas_siren); the inter-level bilinear upsample stays in XLA."""
+    from tha4_tpu.ops import pallas_siren
+    from tha4_tpu.ops.resize import resize_bilinear_nchw
+
+    n = pose.shape[0]
+    n_levels = len(cfg.levels)
+    x = None  # (N, C, HW) channels-first between levels
+    for i, lv in enumerate(cfg.levels):
+        s = lv.image_size
+        pos_t = warp.identity_grid(s, s).reshape(s * s, 2).T.astype(pose.dtype)
+        if i > 0:
+            prev_s = cfg.levels[i - 1].image_size
+            ch = x.shape[1]
+            ximg = resize_bilinear_nchw(x.reshape(n, ch, prev_s, prev_s), (s, s))
+            prev = ximg.reshape(n, ch, s * s)
+        else:
+            prev = None
+        final = params["last_linear"] if i == n_levels - 1 else None
+        x = pallas_siren.sine_chain_t(prev, pos_t, pose, params["levels"][i], final, 30.0)
+
+    s = cfg.levels[-1].image_size
+    out = jnp.transpose(x.reshape(n, cfg.image_channels + 3, s, s), (0, 2, 3, 1))
     grid_change = out[..., 0:2]
     alpha = out[..., 2:3]
     color_change = out[..., 3:]

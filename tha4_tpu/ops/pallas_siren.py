@@ -1,0 +1,225 @@
+"""Fused SIREN MLP Pallas kernel (channels-first).
+
+The students are chains of 1x1-conv sine layers over dense pixel grids
+(reference: src/tha4/nn/siren/vanilla/siren.py:12-39).  Two structural facts
+drive this kernel's design (measured on v5e):
+
+  1. Executed layer by layer in XLA, every intermediate round-trips HBM
+     (~1 GB per level at 512x512x8; forward ~49 ms vs <1 ms of MXU work).
+  2. THA4 channel counts (4..360) leave most of each 128-wide vector lane
+     empty in channels-LAST layout — elementwise/memory ops run at ~20% of
+     HBM bandwidth.
+
+So the kernel chains all layers of a level over a pixel tile resident in
+VMEM, in CHANNELS-FIRST layout: activations are (C, pixels) with pixels on
+the lane dimension (always full), weights are (Cout, Cin) so each layer is
+``W @ h`` with the huge pixel dim as the MXU N dimension.  Levels pass
+(N, C, HW) tensors to each other; only the final head output transposes back
+to NHWC.
+
+Gradients: custom_vjp whose backward runs jax.vjp over the equivalent jnp
+composition — exact, at unfused speed.  Forward-only inference gets the full
+fusion win.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _align8(x: int) -> int:
+    return -(-x // 8) * 8
+
+
+def _align128(x: int) -> int:
+    return -(-x // 128) * 128
+
+
+class _PackedSpec:
+    __slots__ = ("row_off", "ci", "co")
+
+    def __init__(self, row_off, ci, co):
+        self.row_off = row_off
+        self.ci = ci
+        self.co = co
+
+
+def pack_weights_t(layers: Sequence[Dict], final_linear: Optional[Dict], compute_dtype):
+    """Pack TRANSPOSED (Co, Ci) weight matrices into one (rows, maxCi) buffer
+    and biases into one (rows, 128) f32 buffer (bias in lane column 0)."""
+    mats = list(layers) + ([final_linear] if final_linear is not None else [])
+    max_ci = _align128(max(m["w"].shape[0] for m in mats))
+    wblocks = []
+    bblocks = []
+    specs: List[_PackedSpec] = []
+    row = 0
+    for m in mats:
+        ci, co = m["w"].shape
+        co_pad = _align8(co)
+        wt = jnp.pad(m["w"].astype(compute_dtype).T, ((0, co_pad - co), (0, max_ci - ci)))
+        wblocks.append(wt)
+        bblocks.append(
+            jnp.pad(m["b"].astype(jnp.float32).reshape(-1, 1), ((0, co_pad - co), (0, 127)))
+        )
+        specs.append(_PackedSpec(row, ci, co))
+        row += co_pad
+    return jnp.concatenate(wblocks, axis=0), jnp.concatenate(bblocks, axis=0), specs
+
+
+def _make_kernel(specs, num_sine, omega, has_prev, n, tile, compute_dtype):
+    def kernel(*refs):
+        idx = 0
+        poset_ref = refs[idx]; idx += 1  # (pose_dim, N)
+        pos_ref = refs[idx]; idx += 1  # (1, 2, tile)
+        prev_ref = None
+        if has_prev:
+            prev_ref = refs[idx]; idx += 1  # (n, Cp, tile)
+        wref = refs[idx]; idx += 1
+        bref = refs[idx]; idx += 1
+        out_ref = refs[idx]
+
+        pos = pos_ref[0].astype(compute_dtype)  # (2, tile)
+
+        for bi in range(n):
+            pose_col = poset_ref[:, bi : bi + 1]  # (pose_dim, 1) static lane slice
+            pose_b = jnp.broadcast_to(pose_col, (pose_col.shape[0], tile)).astype(compute_dtype)
+            parts = []
+            if prev_ref is not None:
+                parts.append(prev_ref[bi])
+            parts.extend([pos, pose_b])
+            h = jnp.concatenate(parts, axis=0)  # (Cin, tile) sublane concat
+
+            for li, spec in enumerate(specs):
+                w = wref[pl.ds(spec.row_off, _align8(spec.co)), : spec.ci]
+                b = bref[pl.ds(spec.row_off, _align8(spec.co)), :1]
+                acc = jax.lax.dot_general(
+                    w.astype(compute_dtype), h[: spec.ci].astype(compute_dtype),
+                    (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                ) + b
+                if li < num_sine:
+                    h = jnp.sin(omega * acc).astype(compute_dtype)
+                else:
+                    h = acc
+            out_ref[bi] = h[: out_ref.shape[1]].astype(out_ref.dtype)
+
+    return kernel
+
+
+def fused_sine_chain_t(
+    prev: Optional[jnp.ndarray],  # (N, Cp, HW) channels-first, or None
+    pos_t: jnp.ndarray,  # (2, HW)
+    pose: jnp.ndarray,  # (N, pose_dim)
+    layers: Sequence[Dict],
+    final_linear: Optional[Dict] = None,
+    omega: float = 30.0,
+    out_dtype=None,
+) -> jnp.ndarray:
+    """-> (N, Cout, HW) channels-first."""
+    n = pose.shape[0]
+    hw = pos_t.shape[1]
+    compute_dtype = pos_t.dtype
+    cp = prev.shape[1] if prev is not None else 0
+    out_co_ = (final_linear or layers[-1])["w"].shape[1]
+    cmax = max([l["w"].shape[1] for l in layers] + [l["w"].shape[0] for l in layers] + [128])
+    # bytes/pixel of VMEM: double-buffered in+out blocks (xn batch) + f32
+    # intermediates of the widest layer.
+    per_px = 4 * n * (cp + out_co_) + 12 * cmax
+    budget_px = max(512, 6_000_000 // per_px)
+    tile = 512
+    while tile * 2 <= min(budget_px, hw) and hw % (tile * 2) == 0:
+        tile *= 2
+    assert hw % tile == 0
+
+    wbuf, bbuf, specs = pack_weights_t(layers, final_linear, compute_dtype)
+    out_co = (final_linear or layers[-1])["w"].shape[1]
+    out_dtype = out_dtype or compute_dtype
+    kernel = _make_kernel(specs, len(layers), omega, prev is not None, n, tile, compute_dtype)
+
+    in_specs = [
+        pl.BlockSpec((pose.shape[1], n), lambda i: (0, 0)),  # poseT
+        pl.BlockSpec((1, 2, tile), lambda i: (0, 0, i)),
+    ]
+    args = [pose.astype(jnp.float32).T, pos_t.reshape(1, 2, hw)]
+    if prev is not None:
+        in_specs.append(pl.BlockSpec((n, cp, tile), lambda i: (0, 0, i)))
+        args.append(prev)
+    in_specs.append(pl.BlockSpec(wbuf.shape, lambda i: (0, 0)))
+    in_specs.append(pl.BlockSpec(bbuf.shape, lambda i: (0, 0)))
+    args.extend([wbuf, bbuf])
+
+    return pl.pallas_call(
+        kernel,
+        grid=(hw // tile,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((n, out_co, tile), lambda i: (0, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((n, out_co, hw), out_dtype),
+    )(*args)
+
+
+# ---------------------------------------------------------------------------
+# differentiable wrapper: fused forward, exact jnp backward
+# ---------------------------------------------------------------------------
+
+
+def _jnp_chain_t(prev_t, pos_t, pose, layers, final_linear, omega):
+    """Channels-first jnp reference: (N, Cp, HW) -> (N, Cout, HW)."""
+    n = pose.shape[0]
+    hw = pos_t.shape[1]
+    pose_b = jnp.broadcast_to(pose[:, :, None], (n, pose.shape[1], hw)).astype(pos_t.dtype)
+    parts = []
+    if prev_t is not None:
+        parts.append(prev_t)
+    parts.append(jnp.broadcast_to(pos_t[None], (n, 2, hw)))
+    parts.append(pose_b)
+    h = jnp.concatenate(parts, axis=1)
+    for layer in layers:
+        wt = layer["w"].astype(h.dtype)
+        h = jnp.sin(omega * (jnp.einsum("io,nih->noh", wt, h) + layer["b"].astype(h.dtype)[None, :, None]))
+    if final_linear is not None:
+        wt = final_linear["w"].astype(h.dtype)
+        h = jnp.einsum("io,nih->noh", wt, h) + final_linear["b"].astype(h.dtype)[None, :, None]
+    return h
+
+
+def _fused_ok(prev_t, pos_t, pose, layers, final_linear) -> bool:
+    """Conservative guard: only run the fused kernel where its VMEM budget is
+    comfortable; otherwise the channels-first XLA path (still ~1.5x faster
+    than channels-last thanks to full lanes)."""
+    if jax.default_backend() != "tpu" or pos_t.shape[1] % 512 != 0:
+        return False
+    n = pose.shape[0]
+    cp = prev_t.shape[1] if prev_t is not None else 0
+    out_co = (final_linear or layers[-1])["w"].shape[1]
+    # The L1-style shape (wide hidden, wide output block x batch) OOMs VMEM;
+    # keep the kernel to narrow-output levels and small batches.
+    return n * (cp + out_co) <= 1024
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def sine_chain_t(prev_t, pos_t, pose, layers, final_linear, omega=30.0):
+    """Differentiable fused sine chain, channels-first (N, C, HW)."""
+    if _fused_ok(prev_t, pos_t, pose, layers, final_linear):
+        return fused_sine_chain_t(prev_t, pos_t, pose, layers, final_linear, omega)
+    return _jnp_chain_t(prev_t, pos_t, pose, layers, final_linear, omega)
+
+
+def _sine_chain_t_fwd(prev_t, pos_t, pose, layers, final_linear, omega):
+    out = sine_chain_t(prev_t, pos_t, pose, layers, final_linear, omega)
+    return out, (prev_t, pos_t, pose, layers, final_linear)
+
+
+def _sine_chain_t_bwd(omega, residual, g):
+    prev_t, pos_t, pose, layers, final_linear = residual
+    _, vjp = jax.vjp(
+        lambda pr, po, la, fl: _jnp_chain_t(pr, pos_t, po, la, fl, omega), prev_t, pose, layers, final_linear
+    )
+    dprev, dpose, dlayers, dfinal = vjp(g)
+    return dprev, jnp.zeros_like(pos_t), dpose, dlayers, dfinal
+
+
+sine_chain_t.defvjp(_sine_chain_t_fwd, _sine_chain_t_bwd)

@@ -54,6 +54,24 @@ def resize_bilinear(image: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     return x.astype(dtype)
 
 
+def resize_bilinear_nchw(image: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """Torch-equivalent bilinear resize of NCHW ``image`` (channels-first
+    layout used by the fused SIREN path; pixels stay on lanes)."""
+    n, c, h, w = image.shape
+    ho, wo = size
+    if (h, w) == (ho, wo):
+        return image
+    dtype = image.dtype
+    x = image.astype(jnp.float32)
+    if h != ho:
+        mh = jnp.asarray(_bilinear_matrix_np(h, ho))
+        x = jnp.einsum("nchw,hk->nckw", x, mh)
+    if w != wo:
+        mw = jnp.asarray(_bilinear_matrix_np(w, wo))
+        x = jnp.einsum("nchw,wk->nchk", x, mw)
+    return x.astype(dtype)
+
+
 def upsample_nearest_2x(image: jnp.ndarray) -> jnp.ndarray:
     """Legacy torch 'nearest' 2x upsample: src index = floor(dst / 2)."""
     return jnp.repeat(jnp.repeat(image, 2, axis=1), 2, axis=2)
