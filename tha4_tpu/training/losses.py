@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict, List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -36,6 +37,25 @@ def list_l1(expected: Sequence[jnp.ndarray], actual: Sequence[jnp.ndarray], weig
     for e, a in zip(expected, actual):
         total = total + jnp.abs(e - a).mean()
     return weight * total
+
+
+def computed_scale_loss(base_value: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """Loss scaled by a runtime-computed factor (reference ComputedScaleLoss);
+    the scale is treated as a constant w.r.t. gradients, like the reference's
+    detached scale."""
+    return jax.lax.stop_gradient(scale) * base_value
+
+
+def computed_scaled_l2(expected, actual, scale) -> jnp.ndarray:
+    """reference ComputedScaledL2Loss: runtime scale x mean squared error."""
+    return computed_scale_loss(l2(expected, actual), scale)
+
+
+def time_dependently_weighted(base_value: jnp.ndarray, weight: float) -> jnp.ndarray:
+    """reference TimeDependentlyWeightedLoss: the weight is a host-side
+    function of examples-seen, evaluated by the schedule and passed in as a
+    scalar (see training.schedules.TrainingPhases.loss_weight)."""
+    return weight * base_value
 
 
 def sum_named(terms: List[Tuple[str, jnp.ndarray]]) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
