@@ -1,0 +1,51 @@
+"""tha4-eval — fidelity evaluation of a character model.
+
+Renders a deterministic pose suite through this framework and (when the
+original PyTorch implementation is importable) side by side through it,
+reporting PSNR/SSIM — the BASELINE parity check as a command.
+
+Examples:
+  tha4-eval --model data/character_models/lambda_00/character_model.yaml --poses 16
+  tha4-eval --model a/character_model.yaml --against b/character_model.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    parser.add_argument("--model", required=True, help="character_model.yaml")
+    parser.add_argument("--against", default=None,
+                        help="second character_model.yaml to compare with (default: the PyTorch reference implementation on the same model)")
+    parser.add_argument("--poses", type=int, default=16)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--reference-src", default="/root/reference/src")
+    args = parser.parse_args(argv)
+
+    import numpy as np
+
+    from tha4_tpu.charmodel import CharacterModel
+    from tha4_tpu.utils import fidelity
+
+    if args.against is not None:
+        a = CharacterModel.load(args.model)
+        b = CharacterModel.load(args.against)
+        poses = fidelity.random_pose_suite(args.poses, args.seed)
+        stats = fidelity.compare_posers(a.get_poser(), b.get_poser(), a.get_character_image(), poses)
+    else:
+        stats = fidelity.compare_with_reference(
+            args.model, num_poses=args.poses, reference_src=args.reference_src, seed=args.seed
+        )
+        if stats is None:
+            print("reference implementation not found; use --against", file=sys.stderr)
+            return 2
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

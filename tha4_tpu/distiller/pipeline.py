@@ -70,6 +70,8 @@ class DistillationJobs:
         self.body_student_cfg = siren.SirenMorpherConfig()
         self.pose_source = PoseSource(POSE_DATASET_FILE_NAME)
         self._character_image = None
+        self._face_trainer = None
+        self._body_trainer = None
 
     # -- lazy heavy assets -------------------------------------------------
 
@@ -270,11 +272,24 @@ class DistillationJobs:
             workspace.create_command_task(f"{prefix}/train", list(prev))
             return prev[0]
 
+        # One trainer instance per student for the whole DAG run: the jitted
+        # chunk programs (30-60 s compiles each) stay cached across the
+        # per-checkpoint tasks instead of recompiling at every boundary.
+        def face_trainer():
+            if self._face_trainer is None:
+                self._face_trainer = self.make_face_trainer()
+            return self._face_trainer
+
+        def body_trainer():
+            if self._body_trainer is None:
+                self._body_trainer = self.make_body_trainer()
+            return self._body_trainer
+
         face_final = student_tasks(
-            config.face_morpher_prefix(), self.face_total_examples, self.make_face_trainer
+            config.face_morpher_prefix(), self.face_total_examples, face_trainer
         )
         body_final = student_tasks(
-            config.body_morpher_prefix(), self.body_total_examples, self.make_body_trainer
+            config.body_morpher_prefix(), self.body_total_examples, body_trainer
         )
 
         @file_task(workspace, config.character_model_character_png_file_name(), [config.character_image_file_name])

@@ -201,12 +201,23 @@ def linear(params: Params, x: jnp.ndarray) -> jnp.ndarray:
 def instance_norm(params: Optional[Params], x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """InstanceNorm2d(affine=True, track_running_stats=False), NHWC.
 
-    Stats in f32 (bf16 batch-1 reductions drift; SURVEY.md 'hard parts').
-    """
-    xf = x.astype(jnp.float32)
-    mean = xf.mean(axis=(1, 2), keepdims=True)
-    var = ((xf - mean) ** 2).mean(axis=(1, 2), keepdims=True)
-    out = (xf - mean) * lax.rsqrt(var + eps)
+    Stats accumulate in f32 (bf16 batch-1 reductions drift; SURVEY.md 'hard
+    parts').  On bf16 inputs the reductions accumulate in f32 WITHOUT
+    materializing an f32 copy of the activation (these norms are pure
+    HBM-bandwidth on TPU; the cast tensor doubled the traffic)."""
+    if x.dtype == jnp.bfloat16:
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+        # E[(x-mean)^2] with the subtraction in bf16: the mean is O(1) and
+        # activations are O(1), so (x - mean) keeps bf16's full relative
+        # precision; the square-sum accumulates in f32.
+        centered = x - mean.astype(x.dtype)
+        var = jnp.mean(centered * centered, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+        out = centered.astype(jnp.float32) * lax.rsqrt(var + eps)
+    else:
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=(1, 2), keepdims=True)
+        var = ((xf - mean) ** 2).mean(axis=(1, 2), keepdims=True)
+        out = (xf - mean) * lax.rsqrt(var + eps)
     if params is not None:
         out = out * params["scale"] + params["bias"]
     return out.astype(x.dtype)
@@ -214,13 +225,21 @@ def instance_norm(params: Optional[Params], x: jnp.ndarray, eps: float = 1e-5) -
 
 def group_norm(params: Optional[Params], x: jnp.ndarray, num_groups: int, eps: float = 1e-5) -> jnp.ndarray:
     """GroupNorm over NHWC; reference GroupNorm32 uses min(32, C) groups
-    (reference: src/tha4/nn/common/unet.py:65-66)."""
+    (reference: src/tha4/nn/common/unet.py:65-66).  Same bf16 fast-stats
+    strategy as instance_norm."""
     n, h, w, c = x.shape
     g = num_groups
-    xf = x.astype(jnp.float32).reshape(n, h, w, g, c // g)
-    mean = xf.mean(axis=(1, 2, 4), keepdims=True)
-    var = ((xf - mean) ** 2).mean(axis=(1, 2, 4), keepdims=True)
-    out = ((xf - mean) * lax.rsqrt(var + eps)).reshape(n, h, w, c)
+    if x.dtype == jnp.bfloat16:
+        xg = x.reshape(n, h, w, g, c // g)
+        mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True, dtype=jnp.float32)
+        centered = xg - mean.astype(x.dtype)
+        var = jnp.mean(centered * centered, axis=(1, 2, 4), keepdims=True, dtype=jnp.float32)
+        out = (centered.astype(jnp.float32) * lax.rsqrt(var + eps)).reshape(n, h, w, c)
+    else:
+        xf = x.astype(jnp.float32).reshape(n, h, w, g, c // g)
+        mean = xf.mean(axis=(1, 2, 4), keepdims=True)
+        var = ((xf - mean) ** 2).mean(axis=(1, 2, 4), keepdims=True)
+        out = ((xf - mean) * lax.rsqrt(var + eps)).reshape(n, h, w, c)
     if params is not None:
         out = out * params["scale"] + params["bias"]
     return out.astype(x.dtype)
