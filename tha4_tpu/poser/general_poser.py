@@ -37,10 +37,15 @@ class GeneralPoser(Poser):
         self.pose_parameters = get_pose_parameters()
 
         dtype = compute_dtype
+        # TPU f32 matmuls default to bf16 passes; for the f32 (parity) path
+        # force true float32 so outputs match the CPU/torch reference
+        # (~32 dB -> >60 dB PSNR). bf16 compute is the fast path.
+        precision = "highest" if dtype == jnp.float32 else "default"
 
         @jax.jit
         def _run(params, image, pose):
-            outs = run_fn(params, image.astype(dtype), pose.astype(dtype))
+            with jax.default_matmul_precision(precision):
+                outs = run_fn(params, image.astype(dtype), pose.astype(dtype))
             return tuple(o.astype(jnp.float32) for o in outs)
 
         self._run = _run

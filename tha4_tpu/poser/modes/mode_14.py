@@ -75,12 +75,15 @@ class StudentPoser(Poser):
         self.pose_parameters = get_pose_parameters()
 
         cfg_f, cfg_b = self.face_cfg, self.body_cfg
+        # See GeneralPoser: full f32 matmuls on the parity path.
+        precision = "highest" if compute_dtype == jnp.float32 else "default"
 
         @jax.jit
         def _run(params, image, pose):
             image = image.astype(compute_dtype)
             pose = pose.astype(compute_dtype)
-            outs = compute_outputs(cfg_f, cfg_b, params, image, pose)
+            with jax.default_matmul_precision(precision):
+                outs = compute_outputs(cfg_f, cfg_b, params, image, pose)
             return tuple(o.astype(jnp.float32) for o in outs)
 
         self._run = _run
