@@ -68,6 +68,18 @@ def load_image_hwc(
     target_mode = "RGBA" if has_alpha else "RGB"
     if pil_image.mode != target_mode:
         pil_image = pil_image.convert(target_mode)
+
+    if has_alpha and srgb_to_linear_conversion:
+        # Single-pass native decode (LUT sRGB, premultiply, scale) when the
+        # C++ codec is available; exact for u8 inputs.
+        from tha4_tpu.native import loader as native
+
+        decoded = native.decode_rgba(
+            np.asarray(pil_image, dtype=np.uint8), scale, offset, premultiply_alpha
+        )
+        if decoded is not None:
+            return decoded
+
     image = np.asarray(pil_image, dtype=np.float32) / 255.0
     if srgb_to_linear_conversion:
         image[:, :, 0:3] = srgb_to_linear(image[:, :, 0:3])
