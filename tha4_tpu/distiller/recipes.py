@@ -216,7 +216,7 @@ def make_body_distill_chunk(
         gt_warped = jax.lax.stop_gradient(t[2]).astype(jnp.float32)
         gt_grid = jax.lax.stop_gradient(t[3]).astype(jnp.float32)
         student_input = jax.lax.stop_gradient(t[mode_07.INDEX_FACE_MORPHED_FULL])
-        outs = siren.siren_morpher_apply(student_cfg, params, student_input, poses.astype(compute_dtype))
+        outs = siren.siren_morpher_apply_nhwc(student_cfg, params, student_input, poses.astype(compute_dtype))
         pred_blended = outs[siren.SIREN_MORPHER_INDEX_BLENDED_IMAGE].astype(jnp.float32)
         pred_warped = outs[siren.SIREN_MORPHER_INDEX_WARPED_IMAGE].astype(jnp.float32)
         pred_grid = outs[siren.SIREN_MORPHER_INDEX_GRID_CHANGE].astype(jnp.float32)
@@ -277,7 +277,7 @@ def make_body_distill_step(
         gt_grid = jax.lax.stop_gradient(t[3]).astype(jnp.float32)
         student_input = jax.lax.stop_gradient(t[mode_07.INDEX_FACE_MORPHED_FULL])
 
-        outs = siren.siren_morpher_apply(
+        outs = siren.siren_morpher_apply_nhwc(
             student_cfg, params, student_input, poses.astype(compute_dtype)
         )
         pred_blended = outs[siren.SIREN_MORPHER_INDEX_BLENDED_IMAGE].astype(jnp.float32)

@@ -221,6 +221,32 @@ def _position_and_pose(pose: jnp.ndarray, size: int) -> jnp.ndarray:
     return jnp.concatenate([pos, pose_img], axis=-1)
 
 
+def siren_morpher_apply_nhwc(
+    cfg: SirenMorpherConfig, params: Params, image: jnp.ndarray, pose: jnp.ndarray
+) -> List[jnp.ndarray]:
+    """Channels-last reference formulation (better autodiff layouts; the
+    distillation loss uses this for training, where the backward pass
+    dominates and XLA's NHWC gradients measure faster than the
+    channels-first einsum gradients)."""
+    x = None
+    for i, lv in enumerate(cfg.levels):
+        pp = _position_and_pose(pose, lv.image_size)
+        if i == 0:
+            x = pp
+        else:
+            x = resize_bilinear(x, (lv.image_size, lv.image_size))
+            x = jnp.concatenate([x, pp], axis=-1)
+        for layer in params["levels"][i]:
+            x = _sine_linear(layer, x, 30.0)
+    out = _linear(params["last_linear"], x)
+    grid_change = out[..., 0:2]
+    alpha = out[..., 2:3]
+    color_change = out[..., 3:]
+    warped = warp.apply_grid_change(grid_change, image)
+    blended = (1.0 - alpha) * warped + alpha * color_change
+    return [blended, alpha, color_change, warped, grid_change]
+
+
 def siren_morpher_apply(
     cfg: SirenMorpherConfig, params: Params, image: jnp.ndarray, pose: jnp.ndarray
 ) -> List[jnp.ndarray]:
