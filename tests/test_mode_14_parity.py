@@ -135,6 +135,26 @@ def test_mode_14_full_pipeline_parity(rng, reference_modules, character_image):
     assert psnr > 60.0, f"PSNR {psnr}"
 
 
+def test_nhwc_and_channels_first_apply_agree(rng, character_image):
+    """The training (NHWC) and inference (channels-first) student forwards
+    are independent implementations; they must stay numerically equivalent
+    (the loss optimizes one, deployment runs the other)."""
+    import jax.numpy as jnp
+
+    from tha4_tpu.convert import torch_weights as tw
+    from tha4_tpu.models import siren
+
+    params = tw.convert_siren_morpher(tw.load_torch_state_dict(f"{LAMBDA_00}/body_morpher.pt"))
+    cfg = siren.SirenMorpherConfig()
+    pose = _random_pose(rng, 2)
+    image = np.broadcast_to(character_image[None], (2,) + character_image.shape)
+
+    a = siren.siren_morpher_apply(cfg, params, jnp.asarray(image), jnp.asarray(pose))
+    b = siren.siren_morpher_apply_nhwc(cfg, params, jnp.asarray(image), jnp.asarray(pose))
+    for idx in range(5):
+        np.testing.assert_allclose(np.asarray(a[idx]), np.asarray(b[idx]), atol=2e-4)
+
+
 def test_character_model_load():
     from tha4_tpu.charmodel import CharacterModel
 

@@ -221,13 +221,26 @@ def _position_and_pose(pose: jnp.ndarray, size: int) -> jnp.ndarray:
     return jnp.concatenate([pos, pose_img], axis=-1)
 
 
+def _morpher_head(out_nhwc: jnp.ndarray, image: jnp.ndarray) -> List[jnp.ndarray]:
+    """Shared output contract: slice grid/alpha/color from the head tensor,
+    warp, alpha-blend; ordering per SIREN_MORPHER_INDEX_*
+    (reference siren_morpher_03.py:125-145)."""
+    grid_change = out_nhwc[..., 0:2]
+    alpha = out_nhwc[..., 2:3]
+    color_change = out_nhwc[..., 3:]
+    warped = warp.apply_grid_change(grid_change, image)
+    blended = (1.0 - alpha) * warped + alpha * color_change
+    return [blended, alpha, color_change, warped, grid_change]
+
+
 def siren_morpher_apply_nhwc(
     cfg: SirenMorpherConfig, params: Params, image: jnp.ndarray, pose: jnp.ndarray
 ) -> List[jnp.ndarray]:
     """Channels-last reference formulation (better autodiff layouts; the
     distillation loss uses this for training, where the backward pass
     dominates and XLA's NHWC gradients measure faster than the
-    channels-first einsum gradients)."""
+    channels-first einsum gradients).  Must stay numerically equivalent to
+    siren_morpher_apply — tests/test_mode_14_parity.py asserts it."""
     x = None
     for i, lv in enumerate(cfg.levels):
         pp = _position_and_pose(pose, lv.image_size)
@@ -238,13 +251,7 @@ def siren_morpher_apply_nhwc(
             x = jnp.concatenate([x, pp], axis=-1)
         for layer in params["levels"][i]:
             x = _sine_linear(layer, x, 30.0)
-    out = _linear(params["last_linear"], x)
-    grid_change = out[..., 0:2]
-    alpha = out[..., 2:3]
-    color_change = out[..., 3:]
-    warped = warp.apply_grid_change(grid_change, image)
-    blended = (1.0 - alpha) * warped + alpha * color_change
-    return [blended, alpha, color_change, warped, grid_change]
+    return _morpher_head(_linear(params["last_linear"], x), image)
 
 
 def siren_morpher_apply(
@@ -276,9 +283,4 @@ def siren_morpher_apply(
 
     s = cfg.levels[-1].image_size
     out = jnp.transpose(x.reshape(n, cfg.image_channels + 3, s, s), (0, 2, 3, 1))
-    grid_change = out[..., 0:2]
-    alpha = out[..., 2:3]
-    color_change = out[..., 3:]
-    warped = warp.apply_grid_change(grid_change, image)
-    blended = (1.0 - alpha) * warped + alpha * color_change
-    return [blended, alpha, color_change, warped, grid_change]
+    return _morpher_head(out, image)
