@@ -78,6 +78,40 @@ def test_data_only_mesh(tiny_setup):
     assert np.isfinite(loss)
 
 
+def test_chunked_trainer_on_mesh(tiny_setup, tmp_path):
+    """The production path: DistillationJobs with num_gpus=8 runs the fused
+    multi-step chunk with the batch sharded over the data axis."""
+    import os
+
+    from tha4_tpu.distiller.config import DistillerConfig
+    from tha4_tpu.distiller.pipeline import DistillationJobs
+
+    cfg, tparams, *_ = tiny_setup
+    prefix = str(tmp_path / "job")
+    os.makedirs(prefix)
+    config = DistillerConfig(
+        prefix=prefix,
+        character_image_file_name="/root/reference/data/character_models/lambda_00/character.png",
+        face_mask_image_file_name="/root/reference/data/images/lambda_00_face_mask.png",
+        face_morpher_num_training_examples_per_sample_output=None,
+        body_morpher_num_training_examples_per_sample_output=None,
+        num_gpus=8,
+    )
+    jobs = DistillationJobs(
+        config,
+        teacher_params_12=tparams,
+        teacher_cfg_12=cfg,
+        compute_dtype=jnp.float32,
+        face_total_examples=64,
+        examples_per_checkpoint=64,
+        examples_per_snapshot=32,
+    )
+    assert jobs.mesh is not None and jobs.mesh.shape["data"] == 8
+    result = jobs.make_face_trainer().train(64)
+    assert result["examples_seen"] == 64
+    assert np.all(np.isfinite(np.asarray(jax.tree.leaves(result["params"])[0])))
+
+
 def test_shard_batch_helper():
     mesh = meshlib.make_mesh(data=4, space=2, devices=jax.devices()[:8])
     batch = {

@@ -54,6 +54,7 @@ class DistillationJobs:
         body_total_examples: int = recipes.BODY_MORPHER_TOTAL_EXAMPLES,
         examples_per_checkpoint: int = recipes.EXAMPLES_PER_CHECKPOINT,
         examples_per_snapshot: int = 10_000,
+        mesh=None,
     ):
         self.config = config
         self.compute_dtype = compute_dtype
@@ -72,6 +73,23 @@ class DistillationJobs:
         self._character_image = None
         self._face_trainer = None
         self._body_trainer = None
+
+        # Multi-chip data parallelism: config.num_gpus names the chip count
+        # (field kept for compatibility; chips, not CUDA devices).  The batch
+        # shards over the mesh's 'data' axis inside the fused train chunks.
+        if mesh is None and config.num_gpus > 1:
+            import jax
+
+            if len(jax.devices()) >= config.num_gpus:
+                from tha4_tpu.parallel import mesh as meshlib
+
+                mesh = meshlib.make_mesh(data=config.num_gpus, space=1)
+            else:
+                logger.warning(
+                    "config requests %d chips but only %d devices are visible; "
+                    "running single-device", config.num_gpus, len(jax.devices()),
+                )
+        self.mesh = mesh
 
     # -- lazy heavy assets -------------------------------------------------
 
@@ -119,6 +137,7 @@ class DistillationJobs:
             self.pose_source.batch,
             config.face_morpher_batch_size,
             self.compute_dtype,
+            mesh=self.mesh,
         )
 
         def train_chunk(params, opt_state, chunk_key, examples_seen, lr, weights, n_steps):
@@ -188,6 +207,7 @@ class DistillationJobs:
             self.pose_source.batch,
             config.body_morpher_batch_size,
             self.compute_dtype,
+            mesh=self.mesh,
         )
 
         def train_chunk(params, opt_state, chunk_key, examples_seen, lr, weights, n_steps):

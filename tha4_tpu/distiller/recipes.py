@@ -144,12 +144,24 @@ def make_face_distill_step(
     return step
 
 
+def _shard_poses(poses, mesh):
+    """Constrain the pose batch to the mesh's data axis inside the chunk:
+    GSPMD then shards the teacher+student batch work across chips and
+    inserts the gradient psum (the DDP-allreduce equivalent)."""
+    if mesh is None:
+        return poses
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.lax.with_sharding_constraint(poses, NamedSharding(mesh, P("data")))
+
+
 def make_face_distill_chunk(
     teacher_cfg: mode_12.FaceTeacherConfig,
     student_cfg: siren.SirenFaceMorpherConfig,
     pose_batch_fn,
     batch_size: int,
     compute_dtype=jnp.bfloat16,
+    mesh=None,
 ):
     """Multi-step fused trainer: ONE dispatch runs ``n_steps`` optimization
     steps via lax.scan, with pose-batch sampling inside the compiled program.
@@ -183,7 +195,7 @@ def make_face_distill_chunk(
     def chunk(params, opt_state, teacher_params, image, mask, chunk_key, lr, n_steps):
         def body(carry, i):
             params, opt_state = carry
-            poses = pose_batch_fn(jax.random.fold_in(chunk_key, i), batch_size)
+            poses = _shard_poses(pose_batch_fn(jax.random.fold_in(chunk_key, i), batch_size), mesh)
             (loss, named), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, teacher_params, image, mask, poses
             )
@@ -205,6 +217,7 @@ def make_body_distill_chunk(
     pose_batch_fn,
     batch_size: int,
     compute_dtype=jnp.bfloat16,
+    mesh=None,
 ):
     """Body-student analogue of make_face_distill_chunk."""
 
@@ -234,7 +247,7 @@ def make_body_distill_chunk(
     def chunk(params, opt_state, teacher_params, image, chunk_key, lr, weights, n_steps):
         def body(carry, i):
             params, opt_state = carry
-            poses = pose_batch_fn(jax.random.fold_in(chunk_key, i), batch_size)
+            poses = _shard_poses(pose_batch_fn(jax.random.fold_in(chunk_key, i), batch_size), mesh)
             (loss, named), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, teacher_params, image, poses, weights
             )
