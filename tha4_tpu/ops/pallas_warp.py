@@ -40,6 +40,14 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_H = 8
 
 
+def _tile_h(n: int) -> int:
+    """Row-tile height: grid-step overhead (~20 us/step) dominates small
+    batches, so batch<=2 uses taller tiles (fewer steps). The vertical
+    displacement budget shrinks to (128 - th - 8)/2 = 52 px — trained THA4
+    flows peak at ~36 px vertically at 512 px (measured on lambda_00)."""
+    return 16 if n <= 2 else TILE_H
+
+
 def _tile_w(w: int) -> int:
     if w % 128 == 0:
         return 128
@@ -151,7 +159,7 @@ def _bwd_kernel(gx_ref, gy_ref, img_ref, dout_ref, dgx_ref, dgy_ref, *, h, w, w_
 def _forward_impl(image_nchw: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray, true_w: int) -> jnp.ndarray:
     n, c, h, w = image_nchw.shape
     ho, wo = gx.shape[1], gx.shape[2]
-    th, tw = TILE_H, _tile_w(wo)
+    th, tw = _tile_h(n), _tile_w(wo)
     kh, kw = _window(h, w, tw)
     kernel = functools.partial(_fwd_kernel, h=h, w=true_w, w_mem=w, kh=kh, kw=kw, th=th, tw=tw, c=c)
     return pl.pallas_call(
@@ -170,7 +178,7 @@ def _forward_impl(image_nchw: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray, tru
 def _backward_impl(image_nchw, gx, gy, dout_nchw, true_w: int):
     n, c, h, w = image_nchw.shape
     ho, wo = gx.shape[1], gx.shape[2]
-    th, tw = TILE_H, _tile_w(wo)
+    th, tw = _tile_h(n), _tile_w(wo)
     kh, kw = _window(h, w, tw)
     kernel = functools.partial(_bwd_kernel, h=h, w=true_w, w_mem=w, kh=kh, kw=kw, th=th, tw=tw, c=c)
     dgx, dgy = pl.pallas_call(
