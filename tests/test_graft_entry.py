@@ -23,3 +23,35 @@ def test_dryrun_multichip_smoke():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_as_the_driver_invokes_it():
+    """Exactly the driver's invocation: fresh python, NO env preset.
+
+    The parent process may be on any backend with any device count (on the
+    real machine: axon with 1 chip); dryrun_multichip must self-provision
+    an 8-device virtual CPU mesh by re-exec'ing itself (round-1 failure:
+    MULTICHIP_r01.json ok=false, 'need 8 devices, have 1').
+    """
+    import os
+    import subprocess
+
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "_THA4_DRYRUN_CHILD")
+    }
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import __graft_entry__; __graft_entry__.dryrun_multichip(8)",
+        ],
+        env=env,
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    assert proc.returncode == 0, f"stdout={proc.stdout}\nstderr={proc.stderr}"
+    assert "OK" in proc.stdout
