@@ -61,10 +61,78 @@ def test_grad_parity(rng):
 
 
 def test_image_treated_as_constant():
-    """The fast path stops gradients at the image by contract."""
+    """LOUD contract test: the fast path's image cotangent is exactly zero
+    (grid-only gradients), while the jnp path propagates real image grads.
+    If the kernel ever grows image gradients (or a caller starts relying on
+    them through the fast path), this test must be revisited."""
     size = 128
     key = jax.random.PRNGKey(1)
     img = jax.random.normal(key, (1, size, size, 4), jnp.float32)
     grid = _smooth_grid(key, 1, size, size)
     dimg = jax.grad(lambda im: (pallas_warp.grid_sample_fast(im, grid) ** 2).sum())(img)
     assert float(jnp.abs(dimg).max()) == 0.0
+    dimg_ref = jax.grad(lambda im: (warp.grid_sample_bilinear_border(im, grid) ** 2).sum())(img)
+    assert float(jnp.abs(dimg_ref).max()) > 0.0  # the exact path does differentiate
+
+
+def test_out_of_budget_displacement_clamps_to_window():
+    """The documented deviation: displacements beyond the VMEM-window budget
+    clamp to the window edge instead of sampling the true source pixel.
+    This pins the failure mode (and the budget arithmetic) so a silent
+    behavior change can't pass unnoticed."""
+    size = 256
+    key = jax.random.PRNGKey(2)
+    img = jax.random.normal(key, (1, size, size, 4), jnp.float32)
+    by, bx = pallas_warp.displacement_budget_px(img.shape, (1, size, size, 2))
+    # A uniform displacement follows the window (in budget even if large), so
+    # an out-of-budget case needs intra-tile SPREAD: alternate huge +/- row
+    # offsets within one 8-row tile.
+    dy_px = by * 4.0
+    sign = (jnp.arange(size) % 2 * 2 - 1).astype(jnp.float32)
+    gc = jnp.zeros((1, size, size, 2), jnp.float32)
+    gc = gc.at[..., 1].set(sign[:, None] * (2.0 * dy_px / size))
+    grid = warp.identity_grid(size, size)[None] + gc
+
+    exact = warp.grid_sample_bilinear_border(img, grid)
+    fast = pallas_warp.grid_sample_fast(img, grid)
+    # In budget the two agree (see test_forward_parity); out of budget they
+    # must NOT (the clamp is real) — and the kernel must stay finite.
+    assert not np.allclose(np.asarray(fast), np.asarray(exact), atol=1e-3)
+    assert np.isfinite(np.asarray(fast)).all()
+    assert not bool(pallas_warp.within_budget(gc, img.shape, grid.shape))
+
+
+def test_within_budget_flags():
+    img_shape = (1, 512, 512, 4)
+    grid_shape = (1, 512, 512, 2)
+    by, bx = pallas_warp.displacement_budget_px(img_shape, grid_shape)
+    assert by >= 36.0, "budget must cover trained THA4 flows (~36 px vertical)"
+    small = jnp.full((1, 512, 512, 2), 0.05)  # 12.8 px
+    big = jnp.full((1, 512, 512, 2), 0.9)  # 230 px
+    assert bool(pallas_warp.within_budget(small, img_shape, grid_shape))
+    assert not bool(pallas_warp.within_budget(big, img_shape, grid_shape))
+
+
+def test_strict_mode_falls_back_to_exact(monkeypatch):
+    """fast='strict' routes out-of-budget grids to the exact jnp path at
+    RUNTIME (lax.cond), so pathological flows can never clamp silently."""
+    monkeypatch.setattr(pallas_warp, "supported", lambda i, g: True)
+    size = 256
+    key = jax.random.PRNGKey(3)
+    img = jax.random.normal(key, (1, size, size, 4), jnp.float32)
+    by, _ = pallas_warp.displacement_budget_px(img.shape, (1, size, size, 2))
+    sign = (jnp.arange(size) % 2 * 2 - 1).astype(jnp.float32)
+    gc = jnp.zeros((1, size, size, 2), jnp.float32)
+    gc = gc.at[..., 1].set(sign[:, None] * (2.0 * by * 4.0 / size))
+
+    exact = warp.apply_grid_change(gc, img, fast="never")
+    strict = warp.apply_grid_change(gc, img, fast="strict")
+    np.testing.assert_allclose(np.asarray(strict), np.asarray(exact), atol=1e-5)
+
+    # And an in-budget grid still uses the fast kernel (parity check).
+    gc_small = jnp.full((1, size, size, 2), 0.02)
+    np.testing.assert_allclose(
+        np.asarray(warp.apply_grid_change(gc_small, img, fast="strict")),
+        np.asarray(warp.apply_grid_change(gc_small, img, fast="never")),
+        atol=1e-4,
+    )

@@ -23,25 +23,11 @@ NBOT = 2
 
 @pytest.fixture(scope="module", autouse=True)
 def _refpath():
+    # The oracle is the reference verbatim — no patching.  (Round 1 shimmed
+    # reference qkv_attention's .view with .reshape out of contiguity
+    # caution; verified unnecessary under this torch: `q * scale`
+    # materializes a contiguous tensor, so the .view always succeeds.)
     add_reference_to_path()
-    import math
-
-    import tha4.nn.common.unet as refunet
-
-    def qkv_attention_fixed(qkv, num_heads):
-        B, W, L = qkv.shape
-        H = num_heads
-        C = W // (3 * H)
-        q, k, v = qkv.chunk(3, dim=1)
-        scale = 1.0 / math.sqrt(math.sqrt(C))
-        weight = torch.einsum(
-            "bct,bcs->bts", (q * scale).reshape(B * H, C, L), (k * scale).reshape(B * H, C, L)
-        )
-        weight = torch.softmax(weight, dim=-1)
-        output = torch.einsum("bts,bcs->bct", weight, v.reshape(B * H, C, L))
-        return output.reshape(B, H * C, L)
-
-    refunet.qkv_attention = qkv_attention_fixed
 
 
 def _block_args():

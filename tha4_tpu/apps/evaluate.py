@@ -24,6 +24,8 @@ def main(argv=None) -> int:
     parser.add_argument("--poses", type=int, default=16)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--reference-src", default="/root/reference/src")
+    parser.add_argument("--lpips-weights", default=None,
+                        help="state dict of lpips.LPIPS(net='alex') for the LPIPS metric; omitted -> PSNR + windowed SSIM only")
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -35,10 +37,14 @@ def main(argv=None) -> int:
         a = CharacterModel.load(args.model)
         b = CharacterModel.load(args.against)
         poses = fidelity.random_pose_suite(args.poses, args.seed)
-        stats = fidelity.compare_posers(a.get_poser(), b.get_poser(), a.get_character_image(), poses)
+        stats = fidelity.compare_posers(
+            a.get_poser(), b.get_poser(), a.get_character_image(), poses,
+            lpips_weights=args.lpips_weights,
+        )
     else:
         stats = fidelity.compare_with_reference(
-            args.model, num_poses=args.poses, reference_src=args.reference_src, seed=args.seed
+            args.model, num_poses=args.poses, reference_src=args.reference_src,
+            seed=args.seed, lpips_weights=args.lpips_weights,
         )
         if stats is None:
             print("reference implementation not found; use --against", file=sys.stderr)

@@ -23,7 +23,12 @@ remains the reference semantics.
 
 The custom VJP differentiates w.r.t. the grid only (all THA4 training paths
 stop gradients at the warped image; the reference's students likewise only
-backprop into their own grid_change).  Image cotangents raise.
+backprop into their own grid_change).  The image cotangent is ZERO — the
+image is treated as a constant, exactly as if the caller had wrapped it in
+``stop_gradient``.  A recipe that must backprop through the warped image's
+pixels has to use ops.warp.grid_sample_bilinear_border (the auto-router
+``apply_grid_change`` documents the same contract); tests/test_pallas_warp.py
+asserts this zero-image-grad contract loudly so it can never drift silently.
 """
 
 from __future__ import annotations
@@ -263,3 +268,34 @@ def supported(image_shape, grid_shape) -> bool:
     n, h, w, c = image_shape
     ho, wo = grid_shape[1], grid_shape[2]
     return jax.default_backend() == "tpu" and h % TILE_H == 0 and ho % TILE_H == 0
+
+
+def displacement_budget_px(image_shape, grid_shape) -> Tuple[float, float]:
+    """Conservative per-axis displacement budget (dy, dx) in PIXELS.
+
+    Any grid whose max |displacement| stays within this budget is sampled
+    bit-identically to grid_sample_bilinear_border; beyond it, samples may
+    clamp to the VMEM window edge (the documented deviation).  Derivation:
+    within one (th, tw) output tile the window must cover the source span —
+    base alignment can lose 7 rows / 127 cols, rows span th-1 + 2*B_y, and
+    the +1 pixel of the bilinear corner:
+      th-1 + 2*B_y + 8 <= kh - 1  ->  B_y = (kh - th - 8) / 2
+      tw-1 + 2*B_x + 128 <= kw - 1 ->  B_x = (kw - tw - 128) / 2
+    """
+    n, h, w, c = image_shape
+    wo = grid_shape[2]
+    w_pad = -(-w // 128) * 128
+    wo_pad = -(-wo // 128) * 128
+    th, tw = _tile_h(n), _tile_w(wo_pad)
+    kh, kw = _window(h, w_pad, tw)
+    return (kh - th - 8) / 2.0, (kw - tw - 128) / 2.0
+
+
+def within_budget(grid_change: jnp.ndarray, image_shape, grid_shape) -> jnp.ndarray:
+    """Traced scalar bool: every displacement of ``grid_change`` (N,H,W,2,
+    normalized offsets) fits the fast kernel's window budget."""
+    n, h, w, c = image_shape
+    by, bx = displacement_budget_px(image_shape, grid_shape)
+    dx_px = jnp.max(jnp.abs(grid_change[..., 0].astype(jnp.float32))) * (w / 2.0)
+    dy_px = jnp.max(jnp.abs(grid_change[..., 1].astype(jnp.float32))) * (h / 2.0)
+    return (dy_px <= by) & (dx_px <= bx)

@@ -89,7 +89,7 @@ def grid_sample_bilinear_border(image: jnp.ndarray, grid: jnp.ndarray) -> jnp.nd
     return out.astype(image.dtype)
 
 
-def apply_grid_change(grid_change: jnp.ndarray, image: jnp.ndarray, fast: str = "auto") -> jnp.ndarray:
+def apply_grid_change(grid_change: jnp.ndarray, image: jnp.ndarray, fast: str = None) -> jnp.ndarray:
     """Warp ``image`` by a grid offset field (both NHWC).
 
     ``grid_change`` is (N, H, W, 2) with last dim (x, y) normalized offsets;
@@ -97,17 +97,38 @@ def apply_grid_change(grid_change: jnp.ndarray, image: jnp.ndarray, fast: str = 
     (reference: src/tha4/nn/image_processing_util.py:13-54) on the NCHW
     (N, 2, H, W) convention.
 
-    ``fast='auto'`` routes to the Pallas MXU kernel on TPU (~5x faster; image
-    treated as constant for autodiff — see ops.pallas_warp); 'never' forces
-    the pure-jnp reference path.
+    ``fast`` modes (default from $THA4_WARP_MODE, else 'auto'):
+      * 'auto'   — Pallas MXU kernel on TPU (~5x faster). Two contracts
+        differ from the jnp path: the image is a CONSTANT for autodiff
+        (grid-only gradients; see ops.pallas_warp), and displacements beyond
+        the kernel's VMEM-window budget (pallas_warp.displacement_budget_px;
+        far beyond trained THA4 flows) clamp to the window.
+      * 'strict' — like 'auto' but guards the budget at runtime: a
+        lax.cond picks the exact jnp path whenever any displacement exceeds
+        the window budget, so pathological grids can never clamp silently.
+      * 'never'  — pure-jnp reference path (exact semantics, image grads).
     """
+    if fast is None:
+        import os
+
+        fast = os.environ.get("THA4_WARP_MODE", "auto")
     n, h, w, _ = image.shape
     grid = identity_grid(h, w)[None, ...] + grid_change.astype(jnp.float32)
     if fast != "never":
         from tha4_tpu.ops import pallas_warp
 
         if pallas_warp.supported(image.shape, grid.shape):
-            return pallas_warp.grid_sample_fast(image, jnp.broadcast_to(grid, (n, h, w, 2)))
+            grid_b = jnp.broadcast_to(grid, (n, h, w, 2))
+            if fast == "strict":
+                ok = pallas_warp.within_budget(grid_change, image.shape, grid.shape)
+                return jax.lax.cond(
+                    ok,
+                    lambda img, g: pallas_warp.grid_sample_fast(img, g),
+                    lambda img, g: grid_sample_bilinear_border(jax.lax.stop_gradient(img), g),
+                    image,
+                    grid_b,
+                )
+            return pallas_warp.grid_sample_fast(image, grid_b)
     return grid_sample_bilinear_border(image, grid)
 
 

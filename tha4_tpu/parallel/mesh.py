@@ -71,7 +71,38 @@ def replicate(mesh: Mesh, tree):
     return jax.device_put(tree, replicated(mesh))
 
 
-def initialize_multihost(coordinator_address: Optional[str] = None, **kwargs) -> None:
-    """Multi-host bootstrap (torchrun equivalent). No-op when single-process."""
-    if jax.process_count() > 1 or coordinator_address is not None:
+def initialize_multihost(coordinator_address: Optional[str] = None, **kwargs) -> bool:
+    """Multi-host bootstrap (torchrun-rendezvous equivalent). Returns whether
+    jax.distributed was initialized.
+
+    ``jax.process_count()`` cannot be the guard: before
+    ``jax.distributed.initialize`` it is always 1, so that test can never
+    detect a pending multi-process launch.  Instead, act when the launch
+    environment says so — an explicit ``coordinator_address`` argument, the
+    JAX coordination env vars, or a Cloud-TPU pod environment where
+    ``jax.distributed.initialize()`` auto-detects everything (the analogue of
+    torchrun's WORLD_SIZE/RANK bootstrap, reference:
+    src/tha4/shion/core/training/distrib/distributed_trainer.py:398-408).
+    """
+    import os
+
+    env = os.environ
+    coordinator_address = (
+        coordinator_address
+        or env.get("JAX_COORDINATOR_ADDRESS")
+        or env.get("COORDINATOR_ADDRESS")
+    )
+    if "num_processes" not in kwargs and env.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(env["JAX_NUM_PROCESSES"])
+    if "process_id" not in kwargs and env.get("JAX_PROCESS_ID"):
+        kwargs["process_id"] = int(env["JAX_PROCESS_ID"])
+    # Cloud TPU pod slices export TPU_WORKER_HOSTNAMES/TPU_WORKER_ID; there
+    # jax.distributed.initialize() with no arguments self-configures.
+    tpu_pod = env.get("TPU_WORKER_HOSTNAMES") and "," in env["TPU_WORKER_HOSTNAMES"]
+    if coordinator_address is not None:
         jax.distributed.initialize(coordinator_address=coordinator_address, **kwargs)
+        return True
+    if tpu_pod:
+        jax.distributed.initialize(**kwargs)
+        return True
+    return False

@@ -1,9 +1,13 @@
-"""Fidelity metrics: PSNR / SSIM between rendered frames.
+"""Fidelity metrics: PSNR / windowed SSIM / LPIPS between rendered frames.
 
 The BASELINE north star is output parity with the PyTorch reference
-(PSNR/LPIPS).  LPIPS needs pretrained perceptual weights that are not
-bundled, so the built-in metrics are PSNR and SSIM; ``compare_with_reference``
-runs the original torch implementation side by side when it is mounted.
+(PSNR/LPIPS).  ``ssim`` is the standard gaussian-windowed form (Wang et al.);
+``ssim_global`` is the cheap single-window variant kept only for regression
+tracking.  LPIPS needs pretrained perceptual weights that are not bundled in
+this image, so ``lpips`` is a weights-file hook (official lpips-package alex
+state dict) that gracefully returns None without one.
+``compare_with_reference`` runs the original torch implementation side by
+side when it is mounted.
 """
 
 from __future__ import annotations
@@ -22,12 +26,13 @@ def psnr(a: np.ndarray, b: np.ndarray, signal_range: float = SIGNAL_RANGE) -> fl
     return 10.0 * np.log10(signal_range ** 2 / mse)
 
 
-def ssim(a: np.ndarray, b: np.ndarray, signal_range: float = SIGNAL_RANGE) -> float:
-    """Global-statistics SSIM (single window over the image, per channel).
+def ssim_global(a: np.ndarray, b: np.ndarray, signal_range: float = SIGNAL_RANGE) -> float:
+    """GLOBAL-statistics SSIM: one window covering the whole image.
 
-    A full windowed SSIM needs a gaussian pyramid; for regression tracking
-    between near-identical renders the global form is a stable scalar.
-    """
+    NOT the standard (Wang et al.) windowed SSIM — it is far more forgiving
+    of local errors and is only kept as a cheap regression scalar for
+    near-identical renders.  Use :func:`ssim` (windowed) for any claim of
+    fidelity."""
     a = np.asarray(a, np.float64)
     b = np.asarray(b, np.float64)
     c1 = (0.01 * signal_range) ** 2
@@ -39,6 +44,149 @@ def ssim(a: np.ndarray, b: np.ndarray, signal_range: float = SIGNAL_RANGE) -> fl
         ((2 * mu_a * mu_b + c1) * (2 * cov + c2))
         / ((mu_a ** 2 + mu_b ** 2 + c1) * (va + vb + c2))
     )
+
+
+def _gaussian_kernel1d(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    x = np.arange(size, dtype=np.float64) - (size - 1) / 2.0
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    return k / k.sum()
+
+
+def _filter2_valid(img: np.ndarray, k: np.ndarray) -> np.ndarray:
+    """Separable 'valid' gaussian filter over the leading two (H, W) axes of
+    an (H, W, C) array, pure numpy (no scipy dependency in the hot path)."""
+    size = k.shape[0]
+    # rows
+    out = np.zeros((img.shape[0] - size + 1,) + img.shape[1:], np.float64)
+    for i in range(size):
+        out += k[i] * img[i : i + out.shape[0]]
+    # cols
+    out2 = np.zeros((out.shape[0], out.shape[1] - size + 1) + out.shape[2:], np.float64)
+    for i in range(size):
+        out2 += k[i] * out[:, i : i + out2.shape[1]]
+    return out2
+
+
+def ssim(
+    a: np.ndarray,
+    b: np.ndarray,
+    signal_range: float = SIGNAL_RANGE,
+    window_size: int = 11,
+    sigma: float = 1.5,
+) -> float:
+    """Standard windowed SSIM (Wang et al. 2004): 11x11 gaussian window,
+    sigma 1.5, 'valid' padding, averaged over pixels and channels.
+
+    Matches skimage.metrics.structural_similarity(gaussian_weights=True,
+    use_sample_covariance=False) up to boundary handling.  Inputs are HWC (or
+    HW) in model units; ``signal_range`` is the dynamic range (2.0 for
+    [-1, 1] tensors)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if a.ndim == 2:
+        a, b = a[..., None], b[..., None]
+    if min(a.shape[0], a.shape[1]) < window_size:
+        return ssim_global(a, b, signal_range)
+    k = _gaussian_kernel1d(window_size, sigma)
+    c1 = (0.01 * signal_range) ** 2
+    c2 = (0.03 * signal_range) ** 2
+    mu_a = _filter2_valid(a, k)
+    mu_b = _filter2_valid(b, k)
+    mu_aa = mu_a * mu_a
+    mu_bb = mu_b * mu_b
+    mu_ab = mu_a * mu_b
+    var_a = _filter2_valid(a * a, k) - mu_aa
+    var_b = _filter2_valid(b * b, k) - mu_bb
+    cov = _filter2_valid(a * b, k) - mu_ab
+    ssim_map = ((2 * mu_ab + c1) * (2 * cov + c2)) / (
+        (mu_aa + mu_bb + c1) * (var_a + var_b + c2)
+    )
+    return float(ssim_map.mean())
+
+
+# ---------------------------------------------------------------------------
+# LPIPS (weights-optional hook)
+# ---------------------------------------------------------------------------
+
+# BASELINE.md's fidelity target is "PSNR/LPIPS parity".  LPIPS needs
+# pretrained AlexNet + linear-calibration weights which are not bundled in
+# this image, so the metric is a HOOK: point lpips() at a state-dict file
+# exported from the official `lpips` package (lpips.LPIPS(net='alex'),
+# torch.save(model.state_dict(), path)) and it evaluates the exact metric on
+# CPU torch; without a file it returns None and callers fall back to
+# PSNR + windowed SSIM.
+
+_ALEX_CHANNELS = (64, 192, 384, 256, 256)
+
+
+def lpips(
+    a: np.ndarray,
+    b: np.ndarray,
+    weights_file: Optional[str] = None,
+) -> Optional[float]:
+    """LPIPS(alex) distance between two HWC images in [-1, 1] model units.
+
+    ``weights_file``: torch state dict of the official lpips.LPIPS(net='alex')
+    module (keys ``net.slice*.*.weight`` for the AlexNet trunk and
+    ``lin*.model.1.weight`` for the calibration 1x1 convs).  Returns None when
+    no weights file is given/found — LPIPS is unavailable, not zero."""
+    import os
+
+    if weights_file is None or not os.path.isfile(weights_file):
+        return None
+    import torch
+    import torch.nn.functional as F
+
+    sd = torch.load(weights_file, map_location="cpu", weights_only=True)
+
+    def get(k):
+        if k not in sd:
+            raise KeyError(
+                f"LPIPS weights file missing key {k!r}; expected the state "
+                "dict of lpips.LPIPS(net='alex') from the official package"
+            )
+        return sd[k]
+
+    # AlexNet features: conv indices within torchvision features (0,3,6,8,10),
+    # grouped by the lpips package into slice1..slice5 (keys keep the
+    # original indices).
+    convs = [(1, 0), (2, 3), (3, 6), (4, 8), (5, 10)]
+
+    def prep(x):
+        # HWC [-1,1] model units (premultiplied RGBA) -> RGB NCHW in the
+        # lpips 'scaling layer' normalization.
+        x = np.asarray(x, np.float32)[..., :3]
+        t = torch.from_numpy(np.transpose(x, (2, 0, 1)))[None]
+        shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+        scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+        return (t - shift) / scale
+
+    def features(t):
+        feats = []
+        h = t
+        pools_before = {3, 6}  # maxpool precedes convs at indices 3 and 6
+        for si, ci in convs:
+            if ci in pools_before:
+                h = F.max_pool2d(h, 3, stride=2)
+            w = get(f"net.slice{si}.{ci}.weight")
+            bias = get(f"net.slice{si}.{ci}.bias")
+            stride = 4 if ci == 0 else 1
+            pad = 2 if ci == 0 else (2 if ci == 3 else 1)
+            h = F.relu(F.conv2d(h, w, bias, stride=stride, padding=pad))
+            feats.append(h)
+        return feats
+
+    with torch.no_grad():
+        fa = features(prep(a))
+        fb = features(prep(b))
+        total = 0.0
+        for i, (xa, xb) in enumerate(zip(fa, fb)):
+            na = xa / (xa.square().sum(dim=1, keepdim=True).sqrt() + 1e-10)
+            nb = xb / (xb.square().sum(dim=1, keepdim=True).sqrt() + 1e-10)
+            lin = get(f"lin{i}.model.1.weight")
+            d = F.conv2d((na - nb).square(), lin)
+            total += float(d.mean())
+    return total
 
 
 def random_pose_suite(n: int, seed: int = 0) -> np.ndarray:
@@ -56,21 +204,36 @@ def random_pose_suite(n: int, seed: int = 0) -> np.ndarray:
     return poses
 
 
-def compare_posers(poser_a, poser_b, image, poses: np.ndarray, output_index: int = 0) -> Dict:
-    """Frame-by-frame PSNR/SSIM between two Poser implementations."""
+def compare_posers(
+    poser_a,
+    poser_b,
+    image,
+    poses: np.ndarray,
+    output_index: int = 0,
+    lpips_weights: Optional[str] = None,
+) -> Dict:
+    """Frame-by-frame PSNR / windowed-SSIM (/ LPIPS when weights are given)
+    between two Poser implementations."""
     psnrs: List[float] = []
     ssims: List[float] = []
+    lpipss: List[float] = []
     for pose in poses:
         fa = np.asarray(poser_a.pose(image, pose, output_index))
         fb = np.asarray(poser_b.pose(image, pose, output_index))
         psnrs.append(psnr(fa, fb))
-        ssims.append(ssim(fa, fb))
-    return {
+        ssims.append(ssim(np.squeeze(fa), np.squeeze(fb)))
+        d = lpips(np.squeeze(fa), np.squeeze(fb), lpips_weights)
+        if d is not None:
+            lpipss.append(d)
+    out = {
         "psnr_mean": float(np.mean(psnrs)),
         "psnr_min": float(np.min(psnrs)),
         "ssim_mean": float(np.mean(ssims)),
         "frames": len(psnrs),
     }
+    if lpipss:
+        out["lpips_mean"] = float(np.mean(lpipss))
+    return out
 
 
 def compare_with_reference(
@@ -78,6 +241,7 @@ def compare_with_reference(
     num_poses: int = 16,
     reference_src: str = "/root/reference/src",
     seed: int = 0,
+    lpips_weights: Optional[str] = None,
 ) -> Optional[Dict]:
     """Render the same pose suite through this framework and the original
     PyTorch implementation; returns PSNR/SSIM stats (None if the reference
@@ -113,16 +277,22 @@ def compare_with_reference(
     ).float()
 
     poses = random_pose_suite(num_poses, seed)
-    psnrs, ssims = [], []
+    psnrs, ssims, lpipss = [], [], []
     for pose in poses:
         fa = np.asarray(poser.pose(image, pose))[0]
         with torch.no_grad():
             fb = ref_poser.pose(ref_image, torch.from_numpy(pose))[0].permute(1, 2, 0).numpy()
         psnrs.append(psnr(fa, fb))
         ssims.append(ssim(fa, fb))
-    return {
+        d = lpips(fa, fb, lpips_weights)
+        if d is not None:
+            lpipss.append(d)
+    out = {
         "psnr_mean": float(np.mean(psnrs)),
         "psnr_min": float(np.min(psnrs)),
         "ssim_mean": float(np.mean(ssims)),
         "frames": len(psnrs),
     }
+    if lpipss:
+        out["lpips_mean"] = float(np.mean(lpipss))
+    return out
