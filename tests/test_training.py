@@ -138,6 +138,132 @@ def test_trainer_loop_and_resume(tmp_path):
     np.testing.assert_allclose(float(result2["params"]["w"]), w_after, atol=1e-6)
 
 
+def test_validation_cadence(tmp_path):
+    """The validation protocol (reference shion ValidationProtocol semantics):
+    validation_fn fires every examples_per_validation examples with the
+    dedicated validation seed, and its metrics land in the scalar log."""
+    import json
+
+    from tha4_tpu.distiller.recipes import adam_init, adam_update
+
+    calls = []
+
+    def validation_fn(params, vkey, examples_seen):
+        calls.append((examples_seen, np.asarray(vkey).tolist()))
+        return {"loss": 0.5}
+
+    def init_params(key):
+        return {"w": jnp.zeros(())}
+
+    def train_step(params, opt_state, batch_data, lr, weights, key):
+        def loss_fn(p):
+            return ((p["w"] * batch_data["x"] - batch_data["y"]) ** 2).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, opt_state = adam_update(grads, opt_state, params, lr)
+        return params, opt_state, {"loss": loss}
+
+    def make_batch(key, n):
+        x = jax.random.normal(key, (n,))
+        return {"x": x, "y": 2.0 * x}
+
+    prefix = str(tmp_path / "val")
+    cfg = TrainerConfig(
+        prefix=prefix,
+        checkpoint_examples=[64],
+        total_batch_size=8,
+        examples_per_snapshot=64,
+        examples_per_sample_output=None,
+        examples_per_validation=16,
+        log_every_seconds=0.0,  # log every step so validation rows are visible
+        random_seed=7,
+    )
+    trainer = Trainer(
+        cfg,
+        init_params=init_params,
+        init_opt_state=adam_init,
+        train_step=train_step,
+        make_batch=make_batch,
+        lr_fn=lambda e: 0.1,
+        validation_fn=validation_fn,
+    )
+    trainer.train(64)
+
+    seen = [c[0] for c in calls]
+    assert seen == [16, 32, 48, 64], seen
+    # dedicated validation seed, identical across firings (reference
+    # ValidationProtocol owns its own seed)
+    assert len({tuple(c[1]) for c in calls}) == 1
+    rows = [json.loads(l) for l in open(os.path.join(prefix, "log", "scalars.jsonl"))]
+    vrows = [r for r in rows if "validation_loss" in r]
+    assert [r["examples_seen"] for r in vrows] == [16, 32, 48, 64]
+
+
+def test_validation_cadence_chunked(tmp_path):
+    """Same contract through the fused-chunk path: chunks must not straddle a
+    validation boundary."""
+    from tha4_tpu.distiller.recipes import adam_init, adam_update
+
+    calls = []
+
+    def validation_fn(params, vkey, examples_seen):
+        calls.append(examples_seen)
+        return {"loss": 1.0}
+
+    def init_params(key):
+        return {"w": jnp.zeros(())}
+
+    def train_chunk(params, opt_state, chunk_key, examples_seen, lr, weights, n_steps):
+        def body(carry, i):
+            p, o = carry
+            x = jax.random.normal(jax.random.fold_in(chunk_key, i), (8,))
+            loss, grads = jax.value_and_grad(lambda q: ((q["w"] * x - 2 * x) ** 2).mean())(p)
+            p, o = adam_update(grads, o, p, lr)
+            return (p, o), loss
+
+        (params, opt_state), losses_ = jax.lax.scan(body, (params, opt_state), jnp.arange(n_steps))
+        return params, opt_state, {"loss": losses_[-1]}
+
+    prefix = str(tmp_path / "valchunk")
+    cfg = TrainerConfig(
+        prefix=prefix,
+        checkpoint_examples=[96],
+        total_batch_size=8,
+        examples_per_snapshot=96,
+        examples_per_sample_output=None,
+        examples_per_validation=32,
+        random_seed=7,
+    )
+    trainer = Trainer(
+        cfg,
+        init_params=init_params,
+        init_opt_state=adam_init,
+        train_chunk=train_chunk,
+        lr_fn=lambda e: 0.1,
+        validation_fn=validation_fn,
+    )
+    trainer.train(96)
+    assert calls == [32, 64, 96], calls
+
+
+def test_mouth_span_constant_pinned_to_schema():
+    """The procedural sampler's mouth one-hot span (26, 32) must track the
+    canonical 45-dim schema (VERDICT round-1 weak #11)."""
+    from tha4_tpu.distiller import pose_dataset
+    from tha4_tpu.poser.modes.pose_parameters import get_pose_parameters
+
+    pp = get_pose_parameters()
+    shapes = ["mouth_aaa", "mouth_iii", "mouth_uuu", "mouth_eee", "mouth_ooo", "mouth_delta"]
+    indices = [pp.get_parameter_index(n) for n in shapes]
+    assert indices == list(range(indices[0], indices[0] + 6)), "mouth shapes must be contiguous"
+    assert pose_dataset._MOUTH_SHAPES == (indices[0], indices[-1] + 1)
+    eyebrow_groups = [g for g in pp.get_pose_parameter_groups() if g.get_group_name().startswith("eyebrow")]
+    assert pose_dataset._EYEBROW == (
+        min(g.parameter_index for g in eyebrow_groups),
+        max(g.parameter_index + g.arity for g in eyebrow_groups),
+    )
+
+
 def test_get_least_greater_multiple():
     assert get_least_greater_multiple(0, 10) == 10
     assert get_least_greater_multiple(9, 10) == 10

@@ -36,7 +36,19 @@ def main(argv=None) -> int:
     parser.add_argument("--num-chips", type=int, default=None, help="data-parallel chips (reference: num_gpus)")
     parser.add_argument("--interactive", action="store_true", help="prompt for missing values")
     parser.add_argument("--train", action="store_true", help="run distillation after saving the config")
+    parser.add_argument("--explain", metavar="PARAM", default=None,
+                        help="print detailed documentation for a config parameter (or 'all') and exit — the reference's in-app HTML help corpus")
     args = parser.parse_args(argv)
+
+    if args.explain is not None:
+        from tha4_tpu.distiller.param_help import explain
+
+        try:
+            print(explain(args.explain))
+        except KeyError as e:
+            print(e.args[0], file=sys.stderr)
+            return 2
+        return 0
 
     from tha4_tpu.distiller.config import DistillerConfig
 

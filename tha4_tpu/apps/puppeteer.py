@@ -64,7 +64,53 @@ def synthetic_blendshape_stream(frames: int) -> Iterator[dict]:
         yield pose
 
 
-def main(argv=None) -> int:
+def mediapipe_face_pose_stream(frames: int, landmarker=None, camera=None) -> Iterator:
+    """Webcam + FaceLandmarker -> MediaPipeFacePose stream (reference
+    character_model_mediapipe_puppeteer.py:410-418 loop).
+
+    ``landmarker``/``camera`` are injectable for tests (a stub landmarker
+    exercises the full puppeteer path without the mediapipe package or a
+    camera).  The production default builds MediaPipe FaceLandmarker in VIDEO
+    mode with blendshapes + the facial transform matrix, reading cv2
+    VideoCapture(0).
+    """
+    from tha4_tpu.mocap.mediapipe_face_pose import MediaPipeFacePose
+
+    if landmarker is None:
+        import cv2
+        import mediapipe as mp
+        from mediapipe.tasks.python import BaseOptions, vision
+
+        options = vision.FaceLandmarkerOptions(
+            base_options=BaseOptions(model_asset_path="face_landmarker.task"),
+            running_mode=vision.RunningMode.VIDEO,
+            output_face_blendshapes=True,
+            output_facial_transformation_matrixes=True,
+            num_faces=1,
+        )
+        real_landmarker = vision.FaceLandmarker.create_from_options(options)
+        cap = camera or cv2.VideoCapture(0)
+
+        def landmarker(timestamp_ms):
+            ok, frame_bgr = cap.read()
+            if not ok:
+                return None
+            rgb = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB)
+            mp_image = mp.Image(image_format=mp.ImageFormat.SRGB, data=rgb)
+            result = real_landmarker.detect_for_video(mp_image, timestamp_ms)
+            if not result.face_blendshapes:
+                return None
+            blend = {c.category_name: c.score for c in result.face_blendshapes[0]}
+            xform = result.facial_transformation_matrixes[0]
+            return MediaPipeFacePose(blend, xform)
+
+    for i in range(frames):
+        pose = landmarker(int(i * 33.3))
+        if pose is not None:
+            yield pose
+
+
+def main(argv=None, mediapipe_landmarker=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
     parser.add_argument("--model", required=True, help="character_model.yaml")
     parser.add_argument("--source", choices=["udp", "synthetic", "mediapipe"], default="synthetic")
@@ -74,6 +120,15 @@ def main(argv=None) -> int:
     parser.add_argument("--capture-address", default=None, help="iOS device IP for UDP source")
     parser.add_argument("--f32", action="store_true", help="float32 compute (default bfloat16)")
     parser.add_argument("--breathing-bpm", type=float, default=0.0)
+    parser.add_argument("--calibration", default=None,
+                        help="calibration JSON (mocap.calibration format) for the pose converter")
+    parser.add_argument("--set", dest="overrides", action="append", default=[],
+                        metavar="KEY=VALUE",
+                        help="override a calibration parameter (e.g. --set smile_threshold_min=0.3 --set wink_mode=relaxed); repeatable")
+    parser.add_argument("--save-calibration", default=None,
+                        help="write the effective calibration (file + overrides + head calibration) to this JSON and continue")
+    parser.add_argument("--calibrate-head", action="store_true",
+                        help="mediapipe: set the neutral head orientation from the first captured frame (the reference's Calibrate button)")
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -81,19 +136,40 @@ def main(argv=None) -> int:
 
     from tha4_tpu.charmodel import CharacterModel
     from tha4_tpu.core import imagecodec
+    from tha4_tpu.mocap import calibration as cal
     from tha4_tpu.mocap.ifacialmocap_pose_converter import (
         IFacialMocapPoseConverter,
         IFacialMocapPoseConverterArgs,
+    )
+    from tha4_tpu.mocap.mediapipe_face_pose_converter import (
+        MediaPipeFacePoseConverter,
+        MediaPipeFacePoseConverterArgs,
     )
 
     model = CharacterModel.load(args.model)
     poser = model.get_poser(compute_dtype=jnp.float32 if args.f32 else jnp.bfloat16)
     image = jnp.asarray(model.get_character_image())
-    converter = IFacialMocapPoseConverter(
-        IFacialMocapPoseConverterArgs(breathing_frequency=args.breathing_bpm)
-    )
+
+    if args.calibration is not None:
+        conv_args = cal.load_calibration(args.calibration)
+    elif args.source == "mediapipe":
+        conv_args = MediaPipeFacePoseConverterArgs()
+    else:
+        conv_args = IFacialMocapPoseConverterArgs()
+    if args.breathing_bpm:
+        conv_args.breathing_frequency = args.breathing_bpm
+    if args.overrides:
+        cal.apply_overrides(conv_args, args.overrides)
+
+    if args.source == "mediapipe":
+        if not isinstance(conv_args, MediaPipeFacePoseConverterArgs):
+            raise SystemExit("--calibration file is not a mediapipe calibration")
+        converter = MediaPipeFacePoseConverter(conv_args)
+    else:
+        converter = IFacialMocapPoseConverter(conv_args)
 
     receiver = None
+    mp_stream = None
     if args.source == "udp":
         from tha4_tpu.mocap.ifacialmocap import IFacialMocapReceiver
 
@@ -101,12 +177,18 @@ def main(argv=None) -> int:
         receiver.start()
         print("Listening for iFacialMocap packets on UDP 49983...")
     elif args.source == "mediapipe":
-        print("mediapipe source requires the 'mediapipe' package and a webcam", file=sys.stderr)
-        try:
-            import mediapipe  # noqa: F401
-        except ImportError:
-            print("ERROR: mediapipe not installed in this environment", file=sys.stderr)
-            return 2
+        if mediapipe_landmarker is None:
+            try:
+                import mediapipe  # noqa: F401
+            except ImportError:
+                print("ERROR: mediapipe not installed in this environment", file=sys.stderr)
+                return 2
+        mp_stream = mediapipe_face_pose_stream(
+            args.frames or 1_000_000_000, landmarker=mediapipe_landmarker
+        )
+
+    if args.save_calibration is not None and args.source != "mediapipe":
+        cal.save_calibration(conv_args, args.save_calibration)
 
     synthetic = synthetic_blendshape_stream(args.frames or 1_000_000_000)
     fps_meter = FpsMeter()
@@ -116,9 +198,16 @@ def main(argv=None) -> int:
     latencies = []
 
     # Warm up compilation before timing.
-    warm = converter.convert(next(synthetic_blendshape_stream(1)))
+    warm_blend = next(synthetic_blendshape_stream(1))
+    if args.source == "mediapipe":
+        from tha4_tpu.mocap.mediapipe_face_pose import MediaPipeFacePose
+
+        warm = converter.convert(MediaPipeFacePose(warm_blend, None))
+    else:
+        warm = converter.convert(warm_blend)
     poser.pose(image, np.asarray(warm, np.float32)).block_until_ready()
 
+    calibrated = False
     try:
         while args.frames == 0 or frame_count < args.frames:
             if args.source == "udp":
@@ -126,6 +215,18 @@ def main(argv=None) -> int:
                 if blend is None:
                     time.sleep(0.005)
                     continue
+            elif args.source == "mediapipe":
+                try:
+                    blend = next(mp_stream)  # a MediaPipeFacePose
+                except StopIteration:
+                    break
+                if args.calibrate_head and not calibrated:
+                    converter.calibrate(blend)
+                    calibrated = True
+                    if args.save_calibration is not None:
+                        from tha4_tpu.mocap import calibration as cal
+
+                        cal.save_calibration(converter.args, args.save_calibration)
             else:
                 try:
                     blend = next(synthetic)

@@ -53,6 +53,9 @@ class TrainerConfig:
     random_seed: int = 2965603729
     validation_random_seed: int = 3522651501
     log_every_seconds: float = 10.0
+    # Also write TensorBoard-compatible event files next to the JSONL (the
+    # reference logs TB scalars on rank 0, distributed_trainer.py:171-182).
+    write_tensorboard: bool = True
     # Upper bound on steps fused into one device dispatch (chunked mode).
     # Keeps single-program wall time under runtime watchdogs (the axon
     # worker kills executions around the ~60 s mark) and bounds how much
@@ -174,6 +177,11 @@ class Trainer:
         t_start = time.monotonic()
         steps = 0
         log_file = open(log_path, "a")
+        tb_writer = None
+        if cfg.write_tensorboard:
+            from tha4_tpu.training.tensorboard import SummaryWriter
+
+            tb_writer = SummaryWriter(os.path.dirname(log_path))
         try:
             while examples_seen < target_examples:
                 lr = self.lr_fn(examples_seen)
@@ -217,6 +225,16 @@ class Trainer:
                     m.update(examples_seen=examples_seen, lr=lr, elapsed=now - t_start)
                     log_file.write(json.dumps(m) + "\n")
                     log_file.flush()
+                    if tb_writer is not None:
+                        # Tag names match the reference's TB curves
+                        # (sum_loss.py:22-27: training_module_<term>_loss).
+                        scalars = {
+                            f"training_{self.module_name}_{k}_loss": float(v)
+                            for k, v in metrics.items()
+                        }
+                        scalars["learning_rate"] = lr
+                        tb_writer.add_scalars(scalars, examples_seen)
+                        tb_writer.flush()
                     logger.info("Showed %d training examples. loss=%.5f", examples_seen, m.get("loss", -1))
                     last_log_time = now
 
@@ -243,6 +261,10 @@ class Trainer:
                     row["examples_seen"] = examples_seen
                     log_file.write(json.dumps(row) + "\n")
                     log_file.flush()
+                    if tb_writer is not None:
+                        tb_writer.add_scalars(
+                            {f"validation_{k}": float(v) for k, v in vmetrics.items()}, examples_seen
+                        )
                     next_validation = get_least_greater_multiple(examples_seen, cfg.examples_per_validation)
 
                 while checkpoints_due and examples_seen >= checkpoints_due[0]:
@@ -252,5 +274,7 @@ class Trainer:
                     logger.info("Wrote checkpoint %04d at %d examples", index, examples_seen)
         finally:
             log_file.close()
+            if tb_writer is not None:
+                tb_writer.close()
 
         return {"params": params, "opt_state": opt_state, "examples_seen": examples_seen, "key": key}
