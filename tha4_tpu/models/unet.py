@@ -112,6 +112,109 @@ def _apply_scaleshift(x: jnp.ndarray, scaleshift: jnp.ndarray, condition_bias: f
     return x * (condition_bias + scale.astype(x.dtype)) + shift.astype(x.dtype)
 
 
+def _fuse_resblock_ok(x: jnp.ndarray, cout: int) -> bool:
+    """Route narrow-channel levels (512^2 x 32, 256^2 x 64, ...) through the
+    lane-packed formulation: with C < 128 on the lane dim every NHWC tensor
+    is physically padded to 128 lanes, making the plain path ~128/C x
+    bandwidth-bound (measured ~4x at C=32; see ops/packed_conv.py)."""
+    import os
+
+    if os.environ.get("THA4_PACKED_RESBLOCK", "1") != "1":
+        return False
+    from tha4_tpu.ops import packed_conv
+
+    n, h, w, c = x.shape
+    return (
+        jax.default_backend() == "tpu"
+        and packed_conv.pack_factor(c, cout, w) >= 2
+    )
+
+
+def _fold_affine(m1, m2, num_groups, norm_params, films, condition_bias, eps=1e-5):
+    """(scale, shift) per (N, C) implementing GN(+affine) then a chain of
+    FiLM scale-shifts (reference unet.py:90-97), from per-channel spatial
+    moments m1/m2 (N, C) f32."""
+    n, c = m1.shape
+    g = num_groups
+    gm = m1.reshape(n, g, c // g).mean(axis=2)
+    gm2 = m2.reshape(n, g, c // g).mean(axis=2)
+    r = jax.lax.rsqrt(gm2 - gm * gm + eps)
+    mean_c = jnp.repeat(gm, c // g, axis=1)
+    r_c = jnp.repeat(r, c // g, axis=1)
+    a = jnp.broadcast_to(norm_params["scale"][None].astype(jnp.float32), (n, c))
+    b = jnp.broadcast_to(norm_params["bias"][None].astype(jnp.float32), (n, c))
+    for f_scale, f_shift in films:
+        m = condition_bias + f_scale.astype(jnp.float32)
+        a = a * m
+        b = b * m + f_shift.astype(jnp.float32)
+    scale = a * r_c
+    shift = b - mean_c * scale
+    return scale, shift
+
+
+def _fused_resblock(
+    params: Dict,
+    x: jnp.ndarray,
+    cond0: jnp.ndarray,
+    cond1: Optional[jnp.ndarray],
+    condition_bias: float,
+) -> jnp.ndarray:
+    """Lane-packed path: the whole block runs on (N, H, W/f, f*C) tensors
+    (a free reinterpret of NHWC memory) with packed conv kernels, so every
+    op uses full 128-wide lanes; GN/FiLM fold into per-channel affines."""
+    from tha4_tpu.ops import packed_conv as PC
+
+    n, hh, ww, cin = x.shape
+    cout = params["conv0"]["w"].shape[3]
+    f = PC.pack_factor(cin, cout, ww)
+    dt = x.dtype
+
+    xp = PC.pack_nhwc(x, f)
+    m1, m2 = PC.packed_channel_stats(xp, f)
+    s0, b0 = _fold_affine(m1, m2, min(32, cin), params["norm0"], (), condition_bias)
+    act = jax.nn.silu(
+        xp * PC.tile_channel_vector(s0, f).astype(dt)[:, None, None, :]
+        + PC.tile_channel_vector(b0, f).astype(dt)[:, None, None, :]
+    )
+    h1 = tnn.conv2d(
+        {
+            "w": PC.pack_conv3_weights(params["conv0"]["w"], f),
+            "b": PC.tile_channel_vector(params["conv0"]["b"], f),
+        },
+        act,
+    )
+
+    films = [tuple(jnp.split(tnn.linear(params["cond0"], jax.nn.silu(cond0)), 2, axis=-1))]
+    if "cond1" in params and cond1 is not None:
+        films.append(tuple(jnp.split(tnn.linear(params["cond1"], jax.nn.silu(cond1)), 2, axis=-1)))
+    m1, m2 = PC.packed_channel_stats(h1, f)
+    s1, b1 = _fold_affine(m1, m2, min(32, cout), params["norm1"], films, condition_bias)
+    act1 = jax.nn.silu(
+        h1 * PC.tile_channel_vector(s1, f).astype(dt)[:, None, None, :]
+        + PC.tile_channel_vector(b1, f).astype(dt)[:, None, None, :]
+    )
+    out = tnn.conv2d(
+        {
+            "w": PC.pack_conv3_weights(params["conv1"]["w"], f),
+            "b": PC.tile_channel_vector(params["conv1"]["b"], f),
+        },
+        act1,
+    )
+
+    if "skip" in params:
+        skip = tnn.conv2d(
+            {
+                "w": PC.pack_conv1_weights(params["skip"]["w"].reshape(cin, cout), f),
+                "b": PC.tile_channel_vector(params["skip"]["b"], f),
+            },
+            xp,
+            padding=0,
+        )
+    else:
+        skip = xp
+    return PC.unpack_nhwc(skip + out, f)
+
+
 def _resblock(
     params: Dict,
     x: jnp.ndarray,
@@ -121,6 +224,8 @@ def _resblock(
     condition_bias: float = 1.0,
 ) -> jnp.ndarray:
     """Reference ResBlock.forward (unet.py:154-166)."""
+    if sampling == "same" and cond0 is not None and _fuse_resblock_ok(x, params["conv0"]["w"].shape[3]):
+        return _fused_resblock(params, x, cond0, cond1, condition_bias)
     resample = {"same": lambda a: a, "up": upsample_nearest_2x, "down": downsample_avg_2x}[sampling]
     h = jax.nn.silu(tnn.group_norm(params["norm0"], x, num_groups=min(32, x.shape[-1])))
     h = tnn.conv2d(params["conv0"], resample(h))

@@ -1,4 +1,4 @@
-"""Fused SIREN MLP Pallas kernel (channels-first).
+"""Fused SIREN MLP Pallas kernels (channels-first), forward AND backward.
 
 The students are chains of 1x1-conv sine layers over dense pixel grids
 (reference: src/tha4/nn/siren/vanilla/siren.py:12-39).  Two structural facts
@@ -10,16 +10,19 @@ drive this kernel's design (measured on v5e):
      empty in channels-LAST layout — elementwise/memory ops run at ~20% of
      HBM bandwidth.
 
-So the kernel chains all layers of a level over a pixel tile resident in
+So the kernels chain all layers of a level over a pixel tile resident in
 VMEM, in CHANNELS-FIRST layout: activations are (C, pixels) with pixels on
 the lane dimension (always full), weights are (Cout, Cin) so each layer is
 ``W @ h`` with the huge pixel dim as the MXU N dimension.  Levels pass
 (N, C, HW) tensors to each other; only the final head output transposes back
 to NHWC.
 
-Gradients: custom_vjp whose backward runs jax.vjp over the equivalent jnp
-composition — exact, at unfused speed.  Forward-only inference gets the full
-fusion win.
+Gradients: custom_vjp whose backward is ALSO a fused Pallas kernel — it
+recomputes the pre-activations for the tile in VMEM (rematerialization:
+trading cheap MXU work for the HBM round-trips that dominate the unfused
+backward), then runs the reverse chain in one pass, accumulating weight/bias
+gradients across grid steps.  Falls back to jax.vjp over the jnp composition
+off-TPU or when shapes exceed the VMEM budget.
 """
 
 from __future__ import annotations
@@ -200,6 +203,203 @@ def _fused_ok(prev_t, pos_t, pose, layers, final_linear) -> bool:
     return n * (cp + out_co) <= 1024
 
 
+# ---------------------------------------------------------------------------
+# fused backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_bwd_kernel(specs, num_sine, omega, has_prev, cp, pose_dim, n, tile, compute_dtype):
+    """Recompute-then-reverse: forward pre-activations live in VMEM for the
+    tile, the reverse chain accumulates dW/db across grid steps and batch."""
+
+    def kernel(*refs):
+        idx = 0
+        poset_ref = refs[idx]; idx += 1  # (pose_dim, N)
+        pos_ref = refs[idx]; idx += 1  # (1, 2, tile)
+        prev_ref = None
+        if has_prev:
+            prev_ref = refs[idx]; idx += 1  # (n, Cp, tile)
+        wref = refs[idx]; idx += 1  # (rows, maxCi)
+        bref = refs[idx]; idx += 1  # (rows, 128)
+        gout_ref = refs[idx]; idx += 1  # (n, Co_last, tile)
+        dprev_ref = None
+        if has_prev:
+            dprev_ref = refs[idx]; idx += 1
+        dw_ref = refs[idx]; idx += 1  # (rows, maxCi) f32
+        db_ref = refs[idx]; idx += 1  # (rows, 128) f32
+        dpose_ref = refs[idx]  # (pose_dim, N) f32
+
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            dw_ref[:] = jnp.zeros_like(dw_ref)
+            db_ref[:] = jnp.zeros_like(db_ref)
+            dpose_ref[:] = jnp.zeros_like(dpose_ref)
+
+        pos = pos_ref[0].astype(compute_dtype)  # (2, tile)
+        dn_t = (((1,), (1,)), ((), ()))  # contract the pixel dim of both
+        dn_rows = (((0,), (0,)), ((), ()))  # contract the Co dim of both
+
+        for bi in range(n):
+            pose_col = poset_ref[:, bi : bi + 1]
+            pose_b = jnp.broadcast_to(pose_col, (pose_dim, tile)).astype(compute_dtype)
+            parts = []
+            if prev_ref is not None:
+                parts.append(prev_ref[bi])
+            parts.extend([pos, pose_b])
+            h = jnp.concatenate(parts, axis=0)
+
+            # Forward recompute, stashing layer inputs + pre-activations.
+            hs = [h]
+            pre_acts = []
+            for li, spec in enumerate(specs):
+                w = wref[pl.ds(spec.row_off, _align8(spec.co)), : spec.ci]
+                b = bref[pl.ds(spec.row_off, _align8(spec.co)), :1]
+                a = jax.lax.dot_general(
+                    w.astype(compute_dtype), hs[-1][: spec.ci].astype(compute_dtype),
+                    (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                ) + b
+                if li < num_sine:
+                    pre_acts.append(a)
+                    hs.append(jnp.sin(omega * a).astype(compute_dtype))
+                else:
+                    pre_acts.append(None)
+                    hs.append(a)
+
+            # Reverse chain.
+            g = gout_ref[bi].astype(jnp.float32)  # (co_last_pad?, tile) logical co
+            for li in reversed(range(len(specs))):
+                spec = specs[li]
+                co_pad = _align8(spec.co)
+                if li < num_sine:
+                    a = pre_acts[li]
+                    g_a = g[: spec.co] * (omega * jnp.cos(omega * a[: spec.co]))
+                else:
+                    g_a = g[: spec.co]
+                h_in = hs[li][: spec.ci].astype(compute_dtype)
+                # dW[co, ci] += sum_t g_a[co, t] * h_in[ci, t]
+                dw = jax.lax.dot_general(
+                    g_a.astype(compute_dtype), h_in, dn_t, preferred_element_type=jnp.float32
+                )
+                dw_ref[pl.ds(spec.row_off, co_pad), : spec.ci] += jnp.pad(
+                    dw, ((0, co_pad - spec.co), (0, 0))
+                )
+                db_ref[pl.ds(spec.row_off, co_pad), :1] += jnp.pad(
+                    jnp.sum(g_a, axis=1, keepdims=True), ((0, co_pad - spec.co), (0, 0))
+                )
+                # g_in[ci, t] = sum_co W[co, ci] * g_a[co, t]
+                w = wref[pl.ds(spec.row_off, co_pad), : spec.ci]
+                g = jax.lax.dot_general(
+                    w[: spec.co].astype(compute_dtype), g_a.astype(compute_dtype),
+                    dn_rows, preferred_element_type=jnp.float32,
+                )
+
+            off = 0
+            if dprev_ref is not None:
+                dprev_ref[bi] = g[:cp].astype(dprev_ref.dtype)
+                off = cp
+            # position-grid gradient discarded (constant identity grid)
+            dpose_ref[:, bi : bi + 1] += jnp.sum(
+                g[off + 2 : off + 2 + pose_dim], axis=1, keepdims=True
+            )
+
+    return kernel
+
+
+def _bwd_tile(hw: int, n: int, cp: int, specs, compute_dtype) -> int:
+    """Pixel-tile size for the backward kernel under a VMEM budget: stored
+    pre-activations (f32) dominate."""
+    num_acts = sum(_align8(s.co) for s in specs)
+    cmax = max([s.ci for s in specs] + [128])
+    esz = 2 if compute_dtype == jnp.bfloat16 else 4
+    per_px = 4 * num_acts + esz * (cp + cmax) * (2 if n > 1 else 1) + 8 * cmax
+    budget_px = max(256, 5_000_000 // max(per_px, 1))
+    tile = 256
+    while tile * 2 <= min(budget_px, hw) and hw % (tile * 2) == 0:
+        tile *= 2
+    return tile if hw % tile == 0 else 0
+
+
+def fused_sine_chain_t_bwd(prev, pos_t, pose, layers, final_linear, omega, g):
+    """Pallas backward: returns (dprev, dpose, dlayers, dfinal)."""
+    n = pose.shape[0]
+    hw = pos_t.shape[1]
+    pose_dim = pose.shape[1]
+    compute_dtype = pos_t.dtype
+    cp = prev.shape[1] if prev is not None else 0
+    wbuf, bbuf, specs = pack_weights_t(layers, final_linear, compute_dtype)
+    num_sine = len(layers)
+    tile = _bwd_tile(hw, n, cp, specs, compute_dtype)
+    assert tile and hw % tile == 0
+
+    kernel = _make_bwd_kernel(
+        specs, num_sine, omega, prev is not None, cp, pose_dim, n, tile, compute_dtype
+    )
+
+    in_specs = [
+        pl.BlockSpec((pose_dim, n), lambda i: (0, 0)),
+        pl.BlockSpec((1, 2, tile), lambda i: (0, 0, i)),
+    ]
+    args = [pose.astype(jnp.float32).T, pos_t.reshape(1, 2, hw)]
+    if prev is not None:
+        in_specs.append(pl.BlockSpec((n, cp, tile), lambda i: (0, 0, i)))
+        args.append(prev)
+    in_specs.append(pl.BlockSpec(wbuf.shape, lambda i: (0, 0)))
+    in_specs.append(pl.BlockSpec(bbuf.shape, lambda i: (0, 0)))
+    co_last = specs[-1].co
+    g3 = g.reshape(n, co_last, hw)
+    in_specs.append(pl.BlockSpec((n, co_last, tile), lambda i: (0, 0, i)))
+    args.extend([wbuf, bbuf, g3])
+
+    out_specs = []
+    out_shape = []
+    if prev is not None:
+        out_specs.append(pl.BlockSpec((n, cp, tile), lambda i: (0, 0, i)))
+        out_shape.append(jax.ShapeDtypeStruct((n, cp, hw), prev.dtype))
+    out_specs.append(pl.BlockSpec(wbuf.shape, lambda i: (0, 0)))
+    out_shape.append(jax.ShapeDtypeStruct(wbuf.shape, jnp.float32))
+    out_specs.append(pl.BlockSpec(bbuf.shape, lambda i: (0, 0)))
+    out_shape.append(jax.ShapeDtypeStruct(bbuf.shape, jnp.float32))
+    out_specs.append(pl.BlockSpec((pose_dim, n), lambda i: (0, 0)))
+    out_shape.append(jax.ShapeDtypeStruct((pose_dim, n), jnp.float32))
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(hw // tile,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+    )(*args)
+
+    idx = 0
+    dprev = None
+    if prev is not None:
+        dprev = outs[idx]; idx += 1
+    dwbuf = outs[idx]; idx += 1
+    dbbuf = outs[idx]; idx += 1
+    dposeT = outs[idx]
+
+    mats = list(layers) + ([final_linear] if final_linear is not None else [])
+    dmats = []
+    for m, spec in zip(mats, specs):
+        dw = dwbuf[spec.row_off : spec.row_off + spec.co, : spec.ci].T.astype(m["w"].dtype)
+        db = dbbuf[spec.row_off : spec.row_off + spec.co, 0].astype(m["b"].dtype)
+        dmats.append({"w": dw, "b": db})
+    dlayers = dmats[: len(layers)]
+    dfinal = dmats[len(layers)] if final_linear is not None else None
+    dpose = dposeT.T.astype(pose.dtype)
+    return dprev, dpose, dlayers, dfinal
+
+
+def _fused_bwd_ok(prev_t, pos_t, pose, layers, final_linear) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    cp = prev_t.shape[1] if prev_t is not None else 0
+    _, _, specs = pack_weights_t(layers, final_linear, pos_t.dtype)
+    return _bwd_tile(pos_t.shape[1], pose.shape[0], cp, specs, pos_t.dtype) > 0
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def sine_chain_t(prev_t, pos_t, pose, layers, final_linear, omega=30.0):
     """Differentiable fused sine chain, channels-first (N, C, HW)."""
@@ -215,6 +415,13 @@ def _sine_chain_t_fwd(prev_t, pos_t, pose, layers, final_linear, omega):
 
 def _sine_chain_t_bwd(omega, residual, g):
     prev_t, pos_t, pose, layers, final_linear = residual
+    if _fused_bwd_ok(prev_t, pos_t, pose, layers, final_linear):
+        dprev, dpose, dlayers, dfinal = fused_sine_chain_t_bwd(
+            prev_t, pos_t, pose, layers, final_linear, omega, g
+        )
+        if prev_t is None:
+            dprev = None
+        return dprev, jnp.zeros_like(pos_t), dpose, dlayers, dfinal
     _, vjp = jax.vjp(
         lambda pr, po, la, fl: _jnp_chain_t(pr, pos_t, po, la, fl, omega), prev_t, pose, layers, final_linear
     )

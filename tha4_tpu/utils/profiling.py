@@ -65,23 +65,64 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
-def device_timeit(fn: Callable, *args, iters: int = 20) -> float:
+def device_timeit(fn: Callable, *args, iters: int = 100) -> float:
     """Device-side seconds per call of ``fn(*args)`` (scan-amortized).
 
     ``fn`` must be side-effect free and return a pytree of arrays.
+
+    Two measurement hazards this harness defeats (both observed on the axon
+    tunnel):
+      * loop-invariant hoisting — a body that doesn't depend on the scan
+        index gets computed ONCE by XLA and the loop times nothing; the
+        first array argument is perturbed by an index-derived epsilon so
+        every iteration recomputes (the elementwise add fuses into the
+        consumer, costing no extra memory traffic);
+      * fixed dispatch+fetch overhead (~30 ms through the tunnel) — measured
+        separately with a null body and subtracted, and iters defaults high
+        enough to make the correction small.
     """
     from jax import lax
+
+    def _eps(i, dtype):
+        # An index-dependent value the algebraic simplifier cannot fold away
+        # (i * 0 would fold to 0): ~1e-38 * i, which is exactly 0 after the
+        # cast for bf16/f16 and a denormal for f32 — numerically invisible,
+        # but a real data dependence on the loop counter.
+        return (i.astype(jnp.float32) * jnp.float32(1e-38)).astype(dtype)
+
+    def _perturbed(a, i):
+        leaves, treedef = jax.tree.flatten(a)
+        for k, leaf in enumerate(leaves):
+            if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+                leaves = list(leaves)
+                leaves[k] = leaf + _eps(i, leaf.dtype)
+                break
+        return jax.tree.unflatten(treedef, leaves)
 
     @jax.jit
     def run(*a):
         def body(c, i):
-            out = fn(*a)
+            out = fn(*_perturbed(a, i))
             return c + sum(o.astype(jnp.float32).mean() for o in jax.tree.leaves(out)), ()
 
         c, _ = lax.scan(body, 0.0, jnp.arange(iters))
         return c
 
+    @jax.jit
+    def null_run(x):
+        def body(c, i):
+            return c + (x + _eps(i, x.dtype)).mean(), ()
+
+        c, _ = lax.scan(body, 0.0, jnp.arange(iters))
+        return c
+
+    tiny = jnp.ones((8, 128), jnp.float32)
     float(run(*args))  # compile
+    float(null_run(tiny))
     t0 = time.perf_counter()
     float(run(*args))
-    return (time.perf_counter() - t0) / iters
+    total = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(null_run(tiny))
+    overhead = time.perf_counter() - t0
+    return max(total - overhead, 1e-9) / iters
