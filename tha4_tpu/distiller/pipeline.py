@@ -138,6 +138,7 @@ class DistillationJobs:
             config.face_morpher_batch_size,
             self.compute_dtype,
             mesh=self.mesh,
+            lookahead=recipes.default_lookahead(config.face_morpher_batch_size, self.mesh),
         )
 
         def train_chunk(params, opt_state, chunk_key, examples_seen, lr, weights, n_steps):
@@ -208,6 +209,7 @@ class DistillationJobs:
             config.body_morpher_batch_size,
             self.compute_dtype,
             mesh=self.mesh,
+            lookahead=recipes.default_lookahead(config.body_morpher_batch_size, self.mesh),
         )
 
         def train_chunk(params, opt_state, chunk_key, examples_seen, lr, weights, n_steps):

@@ -73,6 +73,21 @@ def default_face_lr_fn(base_lr: float = 1e-4):
     return step_lr_schedule(base_lr, [200_000, 500_000, 800_000], [3.0, 10.0, 30.0])
 
 
+# Per-chip teacher batch at which the 512x512 U-Net forward stops gaining
+# per-pose throughput on a v5e core (measured; README perf table).  The
+# default lookahead targets this: under D-way data parallelism at per-shard
+# batch B/D, lookahead K = SAT/(B/D) restores saturated teacher batches.
+TEACHER_SATURATION_BATCH = 8
+
+
+def default_lookahead(batch_size: int, mesh=None) -> int:
+    """Teacher-lookahead depth K that brings the per-data-shard teacher batch
+    up to TEACHER_SATURATION_BATCH (1 = plain stepping, always safe)."""
+    data = mesh.shape.get("data", 1) if mesh is not None else 1
+    per_shard = max(1, batch_size // max(1, data))
+    return max(1, TEACHER_SATURATION_BATCH // per_shard)
+
+
 def adam_update(grads, opt_state, params, lr):
     tx = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
     updates, opt_state = tx.update(grads, opt_state, params)
@@ -162,6 +177,7 @@ def make_face_distill_chunk(
     batch_size: int,
     compute_dtype=jnp.bfloat16,
     mesh=None,
+    lookahead: int = 1,
 ):
     """Multi-step fused trainer: ONE dispatch runs ``n_steps`` optimization
     steps via lax.scan, with pose-batch sampling inside the compiled program.
@@ -171,16 +187,21 @@ def make_face_distill_chunk(
     (e.g. 10k examples) per dispatch removes it.  Per-step RNG is
     fold_in(chunk_key, step), so results are independent of how the driver
     partitions steps into chunks.
+
+    ``lookahead`` batches the frozen teacher K steps ahead (identical update
+    stream; see make_body_distill_chunk for the full rationale).
     """
-    def loss_fn(params, teacher_params, image, mask, poses):
+    def teacher_targets(teacher_params, image, poses):
         n = poses.shape[0]
         image_b = jnp.broadcast_to(image.astype(compute_dtype), (n,) + image.shape[1:])
         teacher_outs = mode_12.compute_outputs(
             teacher_cfg, teacher_params, image_b, poses.astype(compute_dtype)
         )
         face_morphed = jax.lax.stop_gradient(teacher_outs[mode_12.INDEX_FACE_MORPHED_IMAGE])
-        gt = face_morphed[:, FACE_CROP_Y0 : FACE_CROP_Y0 + 128, FACE_CROP_X0 : FACE_CROP_X0 + 128, :]
-        gt = gt.astype(jnp.float32)
+        return face_morphed[:, FACE_CROP_Y0 : FACE_CROP_Y0 + 128, FACE_CROP_X0 : FACE_CROP_X0 + 128, :]
+
+    def loss_from_targets(params, gt_c, mask, poses):
+        gt = gt_c.astype(jnp.float32)
         pred = siren.siren_face_morpher_apply(
             student_cfg, params, poses[:, : student_cfg.pose_size].astype(compute_dtype)
         ).astype(jnp.float32)
@@ -191,24 +212,73 @@ def make_face_distill_chunk(
             ]
         )
 
+    def update(params, opt_state, gt, mask, poses, lr):
+        (_, named), grads = jax.value_and_grad(loss_from_targets, has_aux=True)(
+            params, gt, mask, poses
+        )
+        params, opt_state = adam_update(grads, opt_state, params, lr)
+        return params, opt_state, named
+
+    k = max(1, int(lookahead))
+
     @functools.partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(0, 1))
     def chunk(params, opt_state, teacher_params, image, mask, chunk_key, lr, n_steps):
-        def body(carry, i):
+        def poses_for(i):
+            return _shard_poses(pose_batch_fn(jax.random.fold_in(chunk_key, i), batch_size), mesh)
+
+        def plain_body(carry, i):
             params, opt_state = carry
-            poses = _shard_poses(pose_batch_fn(jax.random.fold_in(chunk_key, i), batch_size), mesh)
-            (loss, named), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, teacher_params, image, mask, poses
-            )
-            params, opt_state = adam_update(grads, opt_state, params, lr)
+            poses = poses_for(i)
+            gt = teacher_targets(teacher_params, image, poses)
+            params, opt_state, named = update(params, opt_state, gt, mask, poses, lr)
             return (params, opt_state), named
 
-        (params, opt_state), metrics = jax.lax.scan(
-            body, (params, opt_state), jnp.arange(n_steps)
-        )
-        last = jax.tree.map(lambda x: x[-1], metrics)
+        def group_body(carry, g):
+            params, opt_state = carry
+            poses_all = jnp.concatenate([poses_for(g * k + j) for j in range(k)], axis=0)
+            gt_all = teacher_targets(teacher_params, image, poses_all)
+            xs = _split_groups((gt_all, poses_all), k, batch_size, mesh)
+
+            def inner(c, x):
+                p, o = c
+                gt_j, poses_j = x
+                p, o, named = update(p, o, gt_j, mask, poses_j, lr)
+                return (p, o), named
+
+            (params, opt_state), named = jax.lax.scan(inner, (params, opt_state), xs)
+            return (params, opt_state), jax.tree.map(lambda x: x[-1], named)
+
+        n_groups, rem = divmod(n_steps, k) if k > 1 else (0, n_steps)
+        last = None
+        if n_groups > 0:
+            (params, opt_state), gm = jax.lax.scan(
+                group_body, (params, opt_state), jnp.arange(n_groups)
+            )
+            last = jax.tree.map(lambda x: x[-1], gm)
+        if rem > 0:
+            (params, opt_state), pm = jax.lax.scan(
+                plain_body, (params, opt_state), n_groups * k + jnp.arange(rem)
+            )
+            last = jax.tree.map(lambda x: x[-1], pm)
         return params, opt_state, last
 
     return chunk
+
+
+def _split_groups(xs, k: int, batch_size: int, mesh):
+    """(K*B, ...) -> (K, B, ...), re-constraining the batch axis to the data
+    mesh axis so the inner scan sees exactly the per-step sharding the plain
+    path would."""
+
+    def split(x):
+        x = x.reshape((k, batch_size) + x.shape[1:])
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            x = jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(None, "data")))
+        return x
+
+    return jax.tree.map(split, xs)
 
 
 def make_body_distill_chunk(
@@ -218,17 +288,37 @@ def make_body_distill_chunk(
     batch_size: int,
     compute_dtype=jnp.bfloat16,
     mesh=None,
+    lookahead: int = 1,
 ):
-    """Body-student analogue of make_face_distill_chunk."""
+    """Body-student analogue of make_face_distill_chunk.
 
-    def loss_fn(params, teacher_params, image, poses, weights):
+    ``lookahead`` = K batches the teacher in groups of K steps: the teacher is
+    FROZEN, so the labels for the next K optimization steps can be computed in
+    one call at batch K*B, stashed, and consumed by K exact sequential student
+    updates.  The pose stream, the per-step batches, and the update order are
+    identical to K=1 (per-step RNG stays fold_in(chunk_key, step)) — only the
+    teacher's batch-level utilization changes.  This is the lever for 8-way
+    data parallelism: at total batch 8 on 8 chips, K=1 runs the teacher U-Nets
+    at batch 1/chip (badly under-utilized on the MXU); K=8 runs them at batch
+    8/chip for an ~2x per-pose win (measured; README perf table).  Stash cost:
+    K*B x 512^2 x 14ch bf16 = 59 MB/chip at K=B=8 over 8 chips.
+    """
+
+    def teacher_targets(teacher_params, image, poses):
         n = poses.shape[0]
         image_b = jnp.broadcast_to(image.astype(compute_dtype), (n,) + image.shape[1:])
         t = mode_07.compute_outputs(teacher_cfg, teacher_params, image_b, poses.astype(compute_dtype))
-        gt_posed = jax.lax.stop_gradient(t[0]).astype(jnp.float32)
-        gt_warped = jax.lax.stop_gradient(t[2]).astype(jnp.float32)
-        gt_grid = jax.lax.stop_gradient(t[3]).astype(jnp.float32)
-        student_input = jax.lax.stop_gradient(t[mode_07.INDEX_FACE_MORPHED_FULL])
+        # Stash stays in compute dtype (the loss casts to f32 at use, exactly
+        # as the unstashed path did on the already-compute-dtype outputs).
+        return tuple(
+            jax.lax.stop_gradient(t[i]) for i in (0, 2, 3, mode_07.INDEX_FACE_MORPHED_FULL)
+        )
+
+    def loss_from_targets(params, targets, poses, weights):
+        gt_posed_c, gt_warped_c, gt_grid_c, student_input = targets
+        gt_posed = gt_posed_c.astype(jnp.float32)
+        gt_warped = gt_warped_c.astype(jnp.float32)
+        gt_grid = gt_grid_c.astype(jnp.float32)
         outs = siren.siren_morpher_apply_nhwc(student_cfg, params, student_input, poses.astype(compute_dtype))
         pred_blended = outs[siren.SIREN_MORPHER_INDEX_BLENDED_IMAGE].astype(jnp.float32)
         pred_warped = outs[siren.SIREN_MORPHER_INDEX_WARPED_IMAGE].astype(jnp.float32)
@@ -243,21 +333,54 @@ def make_body_distill_chunk(
             ]
         )
 
+    def update(params, opt_state, targets, poses, lr, weights):
+        (_, named), grads = jax.value_and_grad(loss_from_targets, has_aux=True)(
+            params, targets, poses, weights
+        )
+        params, opt_state = adam_update(grads, opt_state, params, lr)
+        return params, opt_state, named
+
+    k = max(1, int(lookahead))
+
     @functools.partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(0, 1))
     def chunk(params, opt_state, teacher_params, image, chunk_key, lr, weights, n_steps):
-        def body(carry, i):
+        def poses_for(i):
+            return _shard_poses(pose_batch_fn(jax.random.fold_in(chunk_key, i), batch_size), mesh)
+
+        def plain_body(carry, i):
             params, opt_state = carry
-            poses = _shard_poses(pose_batch_fn(jax.random.fold_in(chunk_key, i), batch_size), mesh)
-            (loss, named), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, teacher_params, image, poses, weights
-            )
-            params, opt_state = adam_update(grads, opt_state, params, lr)
+            poses = poses_for(i)
+            targets = teacher_targets(teacher_params, image, poses)
+            params, opt_state, named = update(params, opt_state, targets, poses, lr, weights)
             return (params, opt_state), named
 
-        (params, opt_state), metrics = jax.lax.scan(
-            body, (params, opt_state), jnp.arange(n_steps)
-        )
-        last = jax.tree.map(lambda x: x[-1], metrics)
+        def group_body(carry, g):
+            params, opt_state = carry
+            poses_all = jnp.concatenate([poses_for(g * k + j) for j in range(k)], axis=0)
+            targets_all = teacher_targets(teacher_params, image, poses_all)
+            xs = _split_groups((targets_all, poses_all), k, batch_size, mesh)
+
+            def inner(c, x):
+                p, o = c
+                targets_j, poses_j = x
+                p, o, named = update(p, o, targets_j, poses_j, lr, weights)
+                return (p, o), named
+
+            (params, opt_state), named = jax.lax.scan(inner, (params, opt_state), xs)
+            return (params, opt_state), jax.tree.map(lambda x: x[-1], named)
+
+        n_groups, rem = divmod(n_steps, k) if k > 1 else (0, n_steps)
+        last = None
+        if n_groups > 0:
+            (params, opt_state), gm = jax.lax.scan(
+                group_body, (params, opt_state), jnp.arange(n_groups)
+            )
+            last = jax.tree.map(lambda x: x[-1], gm)
+        if rem > 0:
+            (params, opt_state), pm = jax.lax.scan(
+                plain_body, (params, opt_state), n_groups * k + jnp.arange(rem)
+            )
+            last = jax.tree.map(lambda x: x[-1], pm)
         return params, opt_state, last
 
     return chunk

@@ -33,6 +33,13 @@ from typing import Dict, List, Optional, Sequence
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Mosaic's default scoped-VMEM limit is 16 MB; a v5e core has 128 MB of VMEM.
+# The backward kernel's recompute stash legitimately wants more than 16 MB at
+# useful tile sizes, so raise the limit and budget tiles against it below.
+_BWD_VMEM_LIMIT = 100 * 1024 * 1024
+_BWD_SCOPED_BUDGET = 48 * 1024 * 1024
 
 
 def _align8(x: int) -> int:
@@ -308,13 +315,19 @@ def _make_bwd_kernel(specs, num_sine, omega, has_prev, cp, pose_dim, n, tile, co
 
 
 def _bwd_tile(hw: int, n: int, cp: int, specs, compute_dtype) -> int:
-    """Pixel-tile size for the backward kernel under a VMEM budget: stored
-    pre-activations (f32) dominate."""
+    """Pixel-tile size for the backward kernel under the scoped-VMEM budget.
+
+    The batch loop in the kernel is a Python unroll, and Mosaic keeps every
+    iteration's recompute stash (f32 pre-activations + compute-dtype layer
+    inputs) live on the stack simultaneously — measured ~n * 6 bytes *
+    sum(co_pad) per pixel on v5e (round-2 OOM: 17.71 MB at n=8, tile=512,
+    sum(co_pad)=904).  Budget tiles so that estimate stays under
+    _BWD_SCOPED_BUDGET, well below the raised _BWD_VMEM_LIMIT."""
     num_acts = sum(_align8(s.co) for s in specs)
     cmax = max([s.ci for s in specs] + [128])
     esz = 2 if compute_dtype == jnp.bfloat16 else 4
-    per_px = 4 * num_acts + esz * (cp + cmax) * (2 if n > 1 else 1) + 8 * cmax
-    budget_px = max(256, 5_000_000 // max(per_px, 1))
+    per_px = n * (4 + esz) * num_acts + esz * n * (cp + cmax) + 8 * cmax
+    budget_px = max(256, _BWD_SCOPED_BUDGET // max(per_px, 1))
     tile = 256
     while tile * 2 <= min(budget_px, hw) and hw % (tile * 2) == 0:
         tile *= 2
@@ -370,6 +383,11 @@ def fused_sine_chain_t_bwd(prev, pos_t, pose, layers, final_linear, omega, g):
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            # dw/db/dpose accumulate across grid steps -> sequential grid.
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_BWD_VMEM_LIMIT,
+        ),
     )(*args)
 
     idx = 0

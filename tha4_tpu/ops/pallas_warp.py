@@ -44,6 +44,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_H = 8
 
+# Mosaic's default scoped-VMEM limit is 16 MB (a v5e core has 128 MB).  The
+# backward kernel's unrolled channel loop keeps every channel's (th, tw, kw)
+# temporaries live at once — measured 24.04 MB at n=1 (th=16) — so raise the
+# limit rather than shrink tiles (taller tiles are what make small batches
+# fast; see _tile_h).
+_VMEM_LIMIT = 64 * 1024 * 1024
+
 
 def _tile_h(n: int) -> int:
     """Row-tile height: grid-step overhead (~20 us/step) dominates small
@@ -177,6 +184,10 @@ def _forward_impl(image_nchw: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray, tru
         ],
         out_specs=pl.BlockSpec((1, c, th, tw), lambda nn, i, j: (nn, 0, i, j)),
         out_shape=jax.ShapeDtypeStruct((n, c, ho, wo), image_nchw.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
     )(gx, gy, image_nchw)
 
 
@@ -203,6 +214,10 @@ def _backward_impl(image_nchw, gx, gy, dout_nchw, true_w: int):
             jax.ShapeDtypeStruct((n, ho, wo), jnp.float32),
             jax.ShapeDtypeStruct((n, ho, wo), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
     )(gx, gy, image_nchw, dout_nchw)
     return dgx, dgy
 
