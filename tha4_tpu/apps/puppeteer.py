@@ -239,7 +239,11 @@ def main(argv=None, mediapipe_landmarker=None) -> int:
             else:
                 t0 = time.perf_counter()
                 frame = poser.pose(image, np.asarray(pose, np.float32))
-                frame.block_until_ready()
+                # A value fetch is the only true completion barrier: on
+                # tunneled backends block_until_ready can return before the
+                # device finishes, under-reporting latency ~100x.  One pixel
+                # keeps the copy itself negligible while forcing the frame.
+                float(frame[0, 0, 0, 0])
                 latencies.append(time.perf_counter() - t0)
             last_pose, last_frame = pose, frame
             frame_count += 1
