@@ -40,6 +40,38 @@ from jax.experimental.pallas import tpu as pltpu
 # useful tile sizes, so raise the limit and budget tiles against it below.
 _BWD_VMEM_LIMIT = 100 * 1024 * 1024
 _BWD_SCOPED_BUDGET = 48 * 1024 * 1024
+_FWD_VMEM_LIMIT = 100 * 1024 * 1024
+_FWD_SCOPED_BUDGET = 40 * 1024 * 1024
+
+
+# Polynomial sine for the forward kernel.  jnp.sin costs ~26 VPU ops/elem on
+# v5e — measured 0.63 ms per (90, 512^2) sine layer, which made the
+# transcendental (not the matmuls, ~0.1 ms each) the real-time bottleneck.
+# This is Cody-Waite range reduction to [-pi, pi] + a degree-11 odd
+# least-squares-on-Chebyshev-nodes polynomial: 12 VPU ops, max error 6.5e-7
+# over |x| <= 200 in f32 (the f32 rounding floor; bf16 activations quantize
+# at ~4e-3, four orders coarser).  Fitted/validated offline; the interp-mode
+# parity tests (tests/test_pallas_siren.py, atol 1e-4 f32) cover the chain.
+_SIN_C1 = 9.9999959991e-01
+_SIN_C3 = -1.6666552633e-01
+_SIN_C5 = 8.3324029750e-03
+_SIN_C7 = -1.9808632984e-04
+_SIN_C9 = 2.6997142332e-06
+_SIN_C11 = -2.0362228527e-08
+_INV_TWO_PI = 0.15915494309189535
+_TWO_PI_HI = 6.28125
+_TWO_PI_LO = 1.9353071795864769e-03
+
+
+def _fast_sin(x):
+    x = x.astype(jnp.float32)
+    k = jnp.round(x * _INV_TWO_PI)
+    r = x - k * _TWO_PI_HI - k * _TWO_PI_LO
+    r2 = r * r
+    return r * (
+        _SIN_C1
+        + r2 * (_SIN_C3 + r2 * (_SIN_C5 + r2 * (_SIN_C7 + r2 * (_SIN_C9 + r2 * _SIN_C11))))
+    )
 
 
 def _align8(x: int) -> int:
@@ -112,7 +144,7 @@ def _make_kernel(specs, num_sine, omega, has_prev, n, tile, compute_dtype):
                     (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
                 ) + b
                 if li < num_sine:
-                    h = jnp.sin(omega * acc).astype(compute_dtype)
+                    h = _fast_sin(omega * acc).astype(compute_dtype)
                 else:
                     h = acc
             out_ref[bi] = h[: out_ref.shape[1]].astype(out_ref.dtype)
@@ -137,9 +169,13 @@ def fused_sine_chain_t(
     out_co_ = (final_linear or layers[-1])["w"].shape[1]
     cmax = max([l["w"].shape[1] for l in layers] + [l["w"].shape[0] for l in layers] + [128])
     # bytes/pixel of VMEM: double-buffered in+out blocks (xn batch) + f32
-    # intermediates of the widest layer.
+    # intermediates of the widest layer.  Tiles are sized against a large
+    # scoped budget (the raised _FWD_VMEM_LIMIT, well under the 128 MB core):
+    # per-grid-step overhead is ~15 us on v5e, so at batch 1 the difference
+    # between 128 steps (old 6 MB budget) and 16 steps is ~1.7 ms of a ~2 ms
+    # level — tile size IS the latency knob for the real-time path.
     per_px = 4 * n * (cp + out_co_) + 12 * cmax
-    budget_px = max(512, 6_000_000 // per_px)
+    budget_px = max(512, _FWD_SCOPED_BUDGET // per_px)
     tile = 512
     while tile * 2 <= min(budget_px, hw) and hw % (tile * 2) == 0:
         tile *= 2
@@ -168,6 +204,10 @@ def fused_sine_chain_t(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((n, out_co, tile), lambda i: (0, 0, i)),
         out_shape=jax.ShapeDtypeStruct((n, out_co, hw), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_FWD_VMEM_LIMIT,
+        ),
     )(*args)
 
 

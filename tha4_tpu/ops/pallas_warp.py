@@ -45,18 +45,28 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_H = 8
 
 # Mosaic's default scoped-VMEM limit is 16 MB (a v5e core has 128 MB).  The
-# backward kernel's unrolled channel loop keeps every channel's (th, tw, kw)
-# temporaries live at once — measured 24.04 MB at n=1 (th=16) — so raise the
-# limit rather than shrink tiles (taller tiles are what make small batches
-# fast; see _tile_h).
-_VMEM_LIMIT = 64 * 1024 * 1024
+# kernels' unrolled channel loops keep every channel's (th, tw, kw)
+# temporaries live at once — measured 24.04 MB for the bwd at n=1/th=16 and
+# 64.62 MB for the f32 fwd at n=1/th=64 — so raise the limit rather than
+# shrink tiles (taller tiles are what make small batches fast; see
+# _tile_h_fwd).
+_VMEM_LIMIT = 96 * 1024 * 1024
 
 
-def _tile_h(n: int) -> int:
-    """Row-tile height: grid-step overhead (~20 us/step) dominates small
-    batches, so batch<=2 uses taller tiles (fewer steps). The vertical
-    displacement budget shrinks to (128 - th - 8)/2 = 52 px — trained THA4
-    flows peak at ~36 px vertically at 512 px (measured on lambda_00)."""
+def _tile_h_fwd(n: int) -> int:
+    """Forward row-tile height.  Small batches use tall tiles with a taller
+    source window: measured best latency on v5e at batch 1 is th=64/kh=192
+    (1.23 ms vs 1.37 at th=16/kh=128 for the 512^2 x4 warp); vertical budget
+    stays (192 - 64 - 8)/2 = 60 px vs the ~36 px trained THA4 flows reach."""
+    return 64 if n <= 2 else TILE_H
+
+
+def _tile_h_bwd(n: int) -> int:
+    """Backward row-tile height: smaller than forward because the unrolled
+    channel loop keeps every channel's (th, tw, kw) f32 temporaries live
+    (measured 24 MB at th=16; th=64 would blow the 64 MB scoped limit).
+    Budget (128 - 16 - 8)/2 = 52 px; budget introspection reports this
+    tighter of the two."""
     return 16 if n <= 2 else TILE_H
 
 
@@ -68,10 +78,10 @@ def _tile_w(w: int) -> int:
     raise ValueError(f"width {w} not divisible by 64")
 
 
-def _window(h: int, w: int, tw: int) -> Tuple[int, int]:
+def _window(h: int, w: int, tw: int, th: int) -> Tuple[int, int]:
     # Window sizes leave room for the alignment of the dynamic base (sublane
     # 8 / lane 128) plus the tile extent plus the displacement budget.
-    kh = min(128, h)
+    kh = min(192 if th > 16 else 128, h)
     kw = min(tw + 256, w)
     kw = min(-(-kw // 128) * 128, w) if w % 128 == 0 else w
     return kh, kw
@@ -171,8 +181,8 @@ def _bwd_kernel(gx_ref, gy_ref, img_ref, dout_ref, dgx_ref, dgy_ref, *, h, w, w_
 def _forward_impl(image_nchw: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray, true_w: int) -> jnp.ndarray:
     n, c, h, w = image_nchw.shape
     ho, wo = gx.shape[1], gx.shape[2]
-    th, tw = _tile_h(n), _tile_w(wo)
-    kh, kw = _window(h, w, tw)
+    th, tw = _tile_h_fwd(n), _tile_w(wo)
+    kh, kw = _window(h, w, tw, th)
     kernel = functools.partial(_fwd_kernel, h=h, w=true_w, w_mem=w, kh=kh, kw=kw, th=th, tw=tw, c=c)
     return pl.pallas_call(
         kernel,
@@ -194,8 +204,8 @@ def _forward_impl(image_nchw: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray, tru
 def _backward_impl(image_nchw, gx, gy, dout_nchw, true_w: int):
     n, c, h, w = image_nchw.shape
     ho, wo = gx.shape[1], gx.shape[2]
-    th, tw = _tile_h(n), _tile_w(wo)
-    kh, kw = _window(h, w, tw)
+    th, tw = _tile_h_bwd(n), _tile_w(wo)
+    kh, kw = _window(h, w, tw, th)
     kernel = functools.partial(_bwd_kernel, h=h, w=true_w, w_mem=w, kh=kh, kw=kw, th=th, tw=tw, c=c)
     dgx, dgy = pl.pallas_call(
         kernel,
@@ -301,8 +311,10 @@ def displacement_budget_px(image_shape, grid_shape) -> Tuple[float, float]:
     wo = grid_shape[2]
     w_pad = -(-w // 128) * 128
     wo_pad = -(-wo // 128) * 128
-    th, tw = _tile_h(n), _tile_w(wo_pad)
-    kh, kw = _window(h, w_pad, tw)
+    # Report the TIGHTER (backward) configuration: a grid that stays inside
+    # this budget samples exactly in both the forward and backward kernels.
+    th, tw = _tile_h_bwd(n), _tile_w(wo_pad)
+    kh, kw = _window(h, w_pad, tw, th)
     return (kh - th - 8) / 2.0, (kw - tw - 128) / 2.0
 
 
