@@ -71,8 +71,18 @@ def _init_he_linear(key, cin: int, cout: int) -> Params:
 
 
 def _sine_linear(params: Params, x: jnp.ndarray, omega0: float) -> jnp.ndarray:
-    """x: (..., Cin) -> sin(omega0 * (x @ w + b))."""
-    return jnp.sin(omega0 * (x @ params["w"].astype(x.dtype) + params["b"].astype(x.dtype)))
+    """x: (..., Cin) -> sin(omega0 * (x @ w + b)).
+
+    Uses the polynomial sine (ops.pallas_siren._fast_sin, max err 6.5e-7 —
+    four orders under bf16 quantization): on TPU the VPU transcendental, not
+    the matmul, dominates the sine-layer cost in both directions, and jax
+    autodiffs the polynomial exactly.  _sine_linear_exact stays on builtin
+    sin as the independent oracle (tests/test_siren vs torch lock this path
+    at 2e-4 f32 regardless)."""
+    from tha4_tpu.ops.pallas_siren import _fast_sin
+
+    pre = x @ params["w"].astype(x.dtype) + params["b"].astype(x.dtype)
+    return _fast_sin(omega0 * pre).astype(x.dtype)
 
 
 def _linear(params: Params, x: jnp.ndarray) -> jnp.ndarray:

@@ -74,6 +74,11 @@ def _fast_sin(x):
     )
 
 
+def _fast_cos(x):
+    """cos(x) = sin(x + pi/2) through the same reduction (one extra add)."""
+    return _fast_sin(x.astype(jnp.float32) + (jnp.pi / 2))
+
+
 def _align8(x: int) -> int:
     return -(-x // 8) * 8
 
@@ -229,7 +234,12 @@ def _jnp_chain_t(prev_t, pos_t, pose, layers, final_linear, omega):
     h = jnp.concatenate(parts, axis=1)
     for layer in layers:
         wt = layer["w"].astype(h.dtype)
-        h = jnp.sin(omega * (jnp.einsum("io,nih->noh", wt, h) + layer["b"].astype(h.dtype)[None, :, None]))
+        # Same polynomial sine as the kernel and the NHWC path: every
+        # production route computes identical maths (the torch golden tests
+        # are the independent accuracy oracle).
+        h = _fast_sin(
+            omega * (jnp.einsum("io,nih->noh", wt, h) + layer["b"].astype(h.dtype)[None, :, None])
+        ).astype(h.dtype)
     if final_linear is not None:
         wt = final_linear["w"].astype(h.dtype)
         h = jnp.einsum("io,nih->noh", wt, h) + final_linear["b"].astype(h.dtype)[None, :, None]
@@ -309,7 +319,7 @@ def _make_bwd_kernel(specs, num_sine, omega, has_prev, cp, pose_dim, n, tile, co
                 ) + b
                 if li < num_sine:
                     pre_acts.append(a)
-                    hs.append(jnp.sin(omega * a).astype(compute_dtype))
+                    hs.append(_fast_sin(omega * a).astype(compute_dtype))
                 else:
                     pre_acts.append(None)
                     hs.append(a)
@@ -321,7 +331,7 @@ def _make_bwd_kernel(specs, num_sine, omega, has_prev, cp, pose_dim, n, tile, co
                 co_pad = _align8(spec.co)
                 if li < num_sine:
                     a = pre_acts[li]
-                    g_a = g[: spec.co] * (omega * jnp.cos(omega * a[: spec.co]))
+                    g_a = g[: spec.co] * (omega * _fast_cos(omega * a[: spec.co]))
                 else:
                     g_a = g[: spec.co]
                 h_in = hs[li][: spec.ci].astype(compute_dtype)
