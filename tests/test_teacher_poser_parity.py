@@ -103,8 +103,8 @@ def small_torch_teacher():
         comb.morphed_eyebrow_layer_grid_change.weight.normal_(0, 0.02)
         face.iris_mouth_grid_change.weight.normal_(0, 0.02)
         for m in (body, ups):
-            m.body.last[2].weight.normal_(0, 0.05)
-            m.body.last[2].bias.normal_(0, 0.05)
+            m.body.last[2].weight.normal_(0, 0.01)
+            m.body.last[2].bias.normal_(0, 0.01)
         ups.coarse_image_conv.weight.normal_(0, 0.05)
         ups.coarse_image_conv.bias.normal_(0, 0.05)
     for m in (dec, comb, face, body, ups):
@@ -191,9 +191,13 @@ def test_mode_07_full_pipeline_parity(rng, small_torch_teacher, our_cfg_params):
     # chain, and random grid fields warp across image edges.  Stage-local
     # parity is covered at <=1e-4 by test_teacher_nets.py; here we lock the
     # DAG wiring (crops, pastes, resizes, output order) with stage-appropriate
-    # PSNR floors (measured profile: dec ~120 dB, comb ~100, face ~70,
-    # body ~64, upscaler ~31 for warped outputs).
-    floors = [28.0] * 5 + [60.0] * 6 + [50.0] * 8 + [70.0] * 8 + [90.0] * 6
+    # PSNR floors.  The U-Net grid/color heads are damped to sigma=0.01 in the
+    # fixture (the shipped heads are zero-init + training, so small heads are
+    # the realistic regime), which keeps the warp from amplifying float noise
+    # across texel edges: the five user-facing final outputs then measure
+    # 48-105 dB (floors at 40, ~8 dB of seed margin), vs 28-dB floors when
+    # the heads were sigma=0.05 (round-1 review: weakest-locked tensors).
+    floors = [40.0] * 5 + [65.0] * 6 + [58.0] * 8 + [80.0] * 8 + [100.0] * 6
     psnrs = []
     for i, (o, t) in enumerate(zip(ours, theirs)):
         o = np.asarray(o)
@@ -203,8 +207,10 @@ def test_mode_07_full_pipeline_parity(rng, small_torch_teacher, our_cfg_params):
         mse = float((d * d).mean())
         psnr = 10 * np.log10(4.0 / mse) if mse > 0 else 200.0
         psnrs.append(psnr)
-        assert psnr > floors[i], f"output {i}: psnr {psnr:.1f}, max {d.max():.2e}"
-    assert np.mean(psnrs) > 60.0
+    print("PSNR profile:", [round(p, 1) for p in psnrs])
+    for i, psnr in enumerate(psnrs):
+        assert psnr > floors[i], f"output {i}: psnr {psnr:.1f}"
+    assert np.mean(psnrs) > 85.0
 
 
 def test_mode_12_face_pipeline_parity(rng, small_torch_teacher, our_cfg_params):
