@@ -93,12 +93,20 @@ def test_fold_groupnorm_film_matches_ops(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
-@pytest.mark.parametrize("cin,cout", [(8, 8), (12, 8), (32, 32), (96, 32)])
-def test_fused_resblock_matches_reference_path(rng, cin, cout, monkeypatch):
-    """Full lane-packed resblock (packed convs + affine folds) vs the plain
-    XLA _resblock (upscaler-level channel combos incl. the up-path concat
+@pytest.mark.parametrize(
+    "cin,cout,sampling",
+    [
+        (8, 8, "same"), (12, 8, "same"), (32, 32, "same"), (96, 32, "same"),
+        (8, 16, "down"), (32, 32, "down"), (96, 32, "down"),
+        (16, 8, "up"), (32, 32, "up"), (96, 32, "up"),
+    ],
+)
+def test_fused_resblock_matches_reference_path(rng, cin, cout, sampling, monkeypatch):
+    """Full lane-packed resblock (packed convs + affine folds + in-packed-
+    space resampling) vs the plain XLA _resblock, for all three sampling
+    modes at upscaler-level channel combos (incl. the up-path concat
     96->32 case)."""
-    monkeypatch.setattr(unet, "_fuse_resblock_ok", lambda x, co: True)
+    monkeypatch.setattr(unet, "_fuse_resblock_ok", lambda *a: True)
     key = jax.random.PRNGKey(0)
     params = unet._init_resblock(key, cin, cout, 24, True)
     n, h, w = 2, 16, 128
@@ -106,9 +114,10 @@ def test_fused_resblock_matches_reference_path(rng, cin, cout, monkeypatch):
     cond0 = jnp.asarray(rng.standard_normal((n, 24)), jnp.float32)
     cond1 = jnp.asarray(rng.standard_normal((n, 24)), jnp.float32)
 
-    fused = unet._resblock(params, x, cond0, cond1, "same", 1.0)
-    monkeypatch.setattr(unet, "_fuse_resblock_ok", lambda x, co: False)
-    ref = unet._resblock(params, x, cond0, cond1, "same", 1.0)
+    fused = unet._resblock(params, x, cond0, cond1, sampling, 1.0)
+    monkeypatch.setattr(unet, "_fuse_resblock_ok", lambda *a: False)
+    ref = unet._resblock(params, x, cond0, cond1, sampling, 1.0)
+    assert fused.shape == ref.shape
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=3e-5)
 
 

@@ -112,22 +112,29 @@ def _apply_scaleshift(x: jnp.ndarray, scaleshift: jnp.ndarray, condition_bias: f
     return x * (condition_bias + scale.astype(x.dtype)) + shift.astype(x.dtype)
 
 
-def _fuse_resblock_ok(x: jnp.ndarray, cout: int) -> bool:
+def _fuse_resblock_ok(x: jnp.ndarray, cout: int, sampling: str = "same") -> bool:
     """Route narrow-channel levels (512^2 x 32, 256^2 x 64, ...) through the
     lane-packed formulation: with C < 128 on the lane dim every NHWC tensor
     is physically padded to 128 lanes, making the plain path ~128/C x
-    bandwidth-bound (measured ~4x at C=32; see ops/packed_conv.py)."""
+    bandwidth-bound (measured ~4x at C=32; see ops/packed_conv.py).  The
+    down/up variants resample IN packed space (channel-group pair averaging /
+    duplication), so the whole block stays on full lanes — the plain
+    resampling blocks were the teacher's hot spots (6.7 / 9.9 ms vs 2.3 for
+    the packed same-block at 512^2 x 32, measured B8 bf16 v5e)."""
     import os
 
     if os.environ.get("THA4_PACKED_RESBLOCK", "1") != "1":
         return False
+    if jax.default_backend() != "tpu":
+        return False
     from tha4_tpu.ops import packed_conv
 
     n, h, w, c = x.shape
-    return (
-        jax.default_backend() == "tpu"
-        and packed_conv.pack_factor(c, cout, w) >= 2
-    )
+    if sampling == "same":
+        return packed_conv.pack_factor(c, cout, w) >= 2
+    if sampling == "down":
+        return h % 2 == 0 and packed_conv.pack_factor(c, c, w) >= 2
+    return packed_conv.pack_factor(c, cout, 2 * w) >= 2  # up
 
 
 def _fold_affine(m1, m2, num_groups, norm_params, films, condition_bias, eps=1e-5):
@@ -158,28 +165,47 @@ def _fused_resblock(
     cond0: jnp.ndarray,
     cond1: Optional[jnp.ndarray],
     condition_bias: float,
+    sampling: str = "same",
 ) -> jnp.ndarray:
     """Lane-packed path: the whole block runs on (N, H, W/f, f*C) tensors
     (a free reinterpret of NHWC memory) with packed conv kernels, so every
-    op uses full 128-wide lanes; GN/FiLM fold into per-channel affines."""
+    op uses full 128-wide lanes; GN/FiLM fold into per-channel affines.
+    Down/up resampling happens in packed space (see
+    packed_conv.avg_pool_2x_packed / upsample_nearest_2x_packed), then a free
+    repack matches the conv-resolution pack factor."""
     from tha4_tpu.ops import packed_conv as PC
 
     n, hh, ww, cin = x.shape
     cout = params["conv0"]["w"].shape[3]
-    f = PC.pack_factor(cin, cout, ww)
     dt = x.dtype
+    if sampling == "same":
+        f0 = f1 = PC.pack_factor(cin, cout, ww)
+    elif sampling == "down":
+        f0 = PC.pack_factor(cin, cin, ww)
+        f1 = PC.pack_factor(cin, cout, ww // 2)
+    else:  # up
+        f0 = PC.pack_factor(cin, cin, ww)
+        f1 = PC.pack_factor(cin, cout, ww * 2)
 
-    xp = PC.pack_nhwc(x, f)
-    m1, m2 = PC.packed_channel_stats(xp, f)
+    xp = PC.pack_nhwc(x, f0)
+    m1, m2 = PC.packed_channel_stats(xp, f0)
     s0, b0 = _fold_affine(m1, m2, min(32, cin), params["norm0"], (), condition_bias)
     act = jax.nn.silu(
-        xp * PC.tile_channel_vector(s0, f).astype(dt)[:, None, None, :]
-        + PC.tile_channel_vector(b0, f).astype(dt)[:, None, None, :]
+        xp * PC.tile_channel_vector(s0, f0).astype(dt)[:, None, None, :]
+        + PC.tile_channel_vector(b0, f0).astype(dt)[:, None, None, :]
     )
+    if sampling == "down":
+        act = PC.repack(PC.avg_pool_2x_packed(act, f0), f0 // 2, f1)
+        xs = PC.repack(PC.avg_pool_2x_packed(xp, f0), f0 // 2, f1)
+    elif sampling == "up":
+        act = PC.repack(PC.upsample_nearest_2x_packed(act, f0), 2 * f0, f1)
+        xs = PC.repack(PC.upsample_nearest_2x_packed(xp, f0), 2 * f0, f1)
+    else:
+        xs = xp
     h1 = tnn.conv2d(
         {
-            "w": PC.pack_conv3_weights(params["conv0"]["w"], f),
-            "b": PC.tile_channel_vector(params["conv0"]["b"], f),
+            "w": PC.pack_conv3_weights(params["conv0"]["w"], f1),
+            "b": PC.tile_channel_vector(params["conv0"]["b"], f1),
         },
         act,
     )
@@ -187,16 +213,16 @@ def _fused_resblock(
     films = [tuple(jnp.split(tnn.linear(params["cond0"], jax.nn.silu(cond0)), 2, axis=-1))]
     if "cond1" in params and cond1 is not None:
         films.append(tuple(jnp.split(tnn.linear(params["cond1"], jax.nn.silu(cond1)), 2, axis=-1)))
-    m1, m2 = PC.packed_channel_stats(h1, f)
+    m1, m2 = PC.packed_channel_stats(h1, f1)
     s1, b1 = _fold_affine(m1, m2, min(32, cout), params["norm1"], films, condition_bias)
     act1 = jax.nn.silu(
-        h1 * PC.tile_channel_vector(s1, f).astype(dt)[:, None, None, :]
-        + PC.tile_channel_vector(b1, f).astype(dt)[:, None, None, :]
+        h1 * PC.tile_channel_vector(s1, f1).astype(dt)[:, None, None, :]
+        + PC.tile_channel_vector(b1, f1).astype(dt)[:, None, None, :]
     )
     out = tnn.conv2d(
         {
-            "w": PC.pack_conv3_weights(params["conv1"]["w"], f),
-            "b": PC.tile_channel_vector(params["conv1"]["b"], f),
+            "w": PC.pack_conv3_weights(params["conv1"]["w"], f1),
+            "b": PC.tile_channel_vector(params["conv1"]["b"], f1),
         },
         act1,
     )
@@ -204,15 +230,15 @@ def _fused_resblock(
     if "skip" in params:
         skip = tnn.conv2d(
             {
-                "w": PC.pack_conv1_weights(params["skip"]["w"].reshape(cin, cout), f),
-                "b": PC.tile_channel_vector(params["skip"]["b"], f),
+                "w": PC.pack_conv1_weights(params["skip"]["w"].reshape(cin, cout), f1),
+                "b": PC.tile_channel_vector(params["skip"]["b"], f1),
             },
-            xp,
+            xs,
             padding=0,
         )
     else:
-        skip = xp
-    return PC.unpack_nhwc(skip + out, f)
+        skip = xs
+    return PC.unpack_nhwc(skip + out, f1)
 
 
 def _resblock(
@@ -224,8 +250,8 @@ def _resblock(
     condition_bias: float = 1.0,
 ) -> jnp.ndarray:
     """Reference ResBlock.forward (unet.py:154-166)."""
-    if sampling == "same" and cond0 is not None and _fuse_resblock_ok(x, params["conv0"]["w"].shape[3]):
-        return _fused_resblock(params, x, cond0, cond1, condition_bias)
+    if cond0 is not None and _fuse_resblock_ok(x, params["conv0"]["w"].shape[3], sampling):
+        return _fused_resblock(params, x, cond0, cond1, condition_bias, sampling)
     resample = {"same": lambda a: a, "up": upsample_nearest_2x, "down": downsample_avg_2x}[sampling]
     h = jax.nn.silu(tnn.group_norm(params["norm0"], x, num_groups=min(32, x.shape[-1])))
     h = tnn.conv2d(params["conv0"], resample(h))

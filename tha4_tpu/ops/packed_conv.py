@@ -83,14 +83,49 @@ def tile_channel_vector(v: jnp.ndarray, f: int) -> jnp.ndarray:
     return jnp.concatenate([v] * f, axis=-1)
 
 
+def repack(xp: jnp.ndarray, f_from: int, f_to: int) -> jnp.ndarray:
+    """Change pack factor; free (two contiguous reinterprets)."""
+    n, h, wq, fc = xp.shape
+    c = fc // f_from
+    w = wq * f_from
+    return xp.reshape(n, h, w, c).reshape(n, h, w // f_to, f_to * c)
+
+
+def avg_pool_2x_packed(xp: jnp.ndarray, f: int) -> jnp.ndarray:
+    """AvgPool2d(kernel=2, stride=2) of the UNPACKED tensor computed in
+    packed space: row pairs + adjacent dxp channel-group pairs (original
+    columns f*Xq+2k and f*Xq+2k+1 live in neighbouring groups), giving a
+    packed tensor of factor f/2 at width W/2 — all work on full lanes."""
+    assert f % 2 == 0 and f >= 2
+    n, h, wq, fc = xp.shape
+    c = fc // f
+    x = xp.reshape(n, h // 2, 2, wq, f // 2, 2, c)
+    return x.mean(axis=(2, 5)).reshape(n, h // 2, wq, (f // 2) * c)
+
+
+def upsample_nearest_2x_packed(xp: jnp.ndarray, f: int) -> jnp.ndarray:
+    """Nearest 2x upsample (src = floor(dst/2)) in packed space: repeat rows
+    and duplicate each dxp channel group (output groups 2*dxp and 2*dxp+1
+    both read input group dxp) -> packed factor 2f at width 2W."""
+    n, h, wq, fc = xp.shape
+    c = fc // f
+    x = jnp.repeat(xp, 2, axis=1)
+    x = jnp.broadcast_to(x.reshape(n, 2 * h, wq, f, 1, c), (n, 2 * h, wq, f, 2, c))
+    return x.reshape(n, 2 * h, wq, 2 * f * c)
+
+
 def packed_channel_stats(xp: jnp.ndarray, f: int):
     """Per-ORIGINAL-channel mean / mean-of-squares over (H, Wq, dxp) of a
     packed tensor: exact spatial statistics of the unpacked tensor.
-    Returns (m1, m2), each (N, C) f32."""
+    Returns (m1, m2), each (N, C) f32.
+
+    The casts are kept INSIDE each reduction expression (no shared f32
+    temporary): XLA then fuses cast+square into the reduce loops instead of
+    materializing a float32 copy of the whole activation — measured ~1 ms per
+    stats call at 512^2 x 64 B8 from that copy alone."""
     n = xp.shape[0]
     fc = xp.shape[-1]
     c = fc // f
-    xf = xp.astype(jnp.float32)
-    m1 = xf.mean(axis=(1, 2)).reshape(n, f, c).mean(axis=1)
-    m2 = (xf * xf).mean(axis=(1, 2)).reshape(n, f, c).mean(axis=1)
+    m1 = jnp.mean(xp.astype(jnp.float32), axis=(1, 2)).reshape(n, f, c).mean(axis=1)
+    m2 = jnp.mean(jnp.square(xp.astype(jnp.float32)), axis=(1, 2)).reshape(n, f, c).mean(axis=1)
     return m1, m2
