@@ -127,3 +127,89 @@ def test_mediapipe_puppeteer_with_stub(tmp_path):
     assert saved["head_x_offset"] == pytest.approx(0.2, abs=1e-6)
     pngs = sorted(outdir.glob("*.png"))
     assert len(pngs) == 3
+
+
+def test_web_puppeteer_calibration_panel(tmp_path):
+    """The --web calibration panel (the reference's wx calibration UI as a
+    browser panel): GET /calib exposes the live converter's parameters and
+    enum choices, POST /calib mutates them for the NEXT frame, POST /save
+    writes a calibration JSON loadable via --calibration, /frame.png serves
+    the rendered stream, and a bad parameter returns 400 (not a crash)."""
+    import json
+    import threading
+    import time
+    import urllib.error
+    import urllib.request
+
+    import numpy as np
+
+    from tha4_tpu.apps import puppeteer
+    from tha4_tpu.mocap import calibration as cal
+    from tha4_tpu.mocap.ifacialmocap_pose_converter import (
+        IFacialMocapPoseConverter,
+        IFacialMocapPoseConverterArgs,
+        WinkMode,
+    )
+
+    class FakePoser:
+        def pose(self, image, pose):
+            return np.zeros((1, 8, 8, 4), np.float32)
+
+    conv = IFacialMocapPoseConverter(IFacialMocapPoseConverterArgs())
+    stream = puppeteer.synthetic_blendshape_stream(1_000_000)
+    server, state, render_thread = puppeteer._make_web_server(
+        0, FakePoser(), np.zeros((8, 8, 4), np.float32), conv, lambda: next(stream), False
+    )
+    port = server.server_address[1]
+    render_thread.start()
+    serve_thread = threading.Thread(target=server.serve_forever, daemon=True)
+    serve_thread.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        meta = json.loads(urllib.request.urlopen(base + "/calib", timeout=10).read())
+        assert meta["kind"] == "IFacialMocapPoseConverterArgs"
+        assert "smile_threshold_min" in meta["values"]
+        assert "RELAXED" in meta["enums"]["wink_mode"]
+
+        page = urllib.request.urlopen(base + "/", timeout=10).read()
+        assert b"calibration" in page
+
+        req = urllib.request.Request(
+            base + "/calib",
+            data=json.dumps({"smile_threshold_min": 0.31, "wink_mode": "RELAXED"}).encode(),
+            method="POST",
+        )
+        assert urllib.request.urlopen(req, timeout=10).status == 200
+        assert abs(conv.args.smile_threshold_min - 0.31) < 1e-9
+        assert conv.args.wink_mode == WinkMode.RELAXED
+
+        path = str(tmp_path / "c.json")
+        req = urllib.request.Request(
+            base + "/save", data=json.dumps({"path": path}).encode(), method="POST"
+        )
+        assert urllib.request.urlopen(req, timeout=10).status == 200
+        loaded = cal.load_calibration(path)
+        assert abs(loaded.smile_threshold_min - 0.31) < 1e-9
+        assert loaded.wink_mode == WinkMode.RELAXED
+
+        deadline = time.time() + 20
+        png = b""
+        while time.time() < deadline:
+            try:
+                png = urllib.request.urlopen(base + "/frame.png", timeout=10).read()
+                break
+            except urllib.error.HTTPError:
+                time.sleep(0.2)
+        assert png.startswith(b"\x89PNG")
+
+        req = urllib.request.Request(
+            base + "/calib", data=json.dumps({"not_a_param": 1}).encode(), method="POST"
+        )
+        try:
+            urllib.request.urlopen(req, timeout=10)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        state["stop"] = True
+        server.shutdown()

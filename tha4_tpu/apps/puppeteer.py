@@ -110,6 +110,204 @@ def mediapipe_face_pose_stream(frames: int, landmarker=None, camera=None) -> Ite
             yield pose
 
 
+_WEB_PAGE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>tha4 puppeteer</title>
+<style>
+ body { font-family: sans-serif; display: flex; gap: 16px; margin: 12px; background:#fafafa; }
+ #panel { width: 380px; max-height: 95vh; overflow-y: auto; }
+ label { display: inline-block; width: 215px; font-size: 12px; }
+ input[type=number] { width: 90px; } select { width: 96px; }
+ #frame { border: 1px solid #ccc; background:
+   repeating-conic-gradient(#eee 0% 25%, #fff 0% 50%) 0 0/24px 24px; }
+ #status { font-size: 12px; color: #666; } .row { margin: 3px 0; }
+ h3 { margin: 8px 0 4px; font-size: 14px; }
+</style></head>
+<body>
+<div id="panel">
+  <h3>calibration <span id="status"></span></h3>
+  <div id="fields"></div>
+  <div class="row"><input id="savepath" value="calibration.json" style="width:200px">
+    <button onclick="saveCal()">save calibration</button></div>
+  <div class="row" id="headrow" style="display:none">
+    <button onclick="calHead()">calibrate head (neutral)</button></div>
+</div>
+<img id="frame" width="512" height="512">
+<script>
+async function setParam(k, v) {
+  await fetch('calib', {method:'POST', body: JSON.stringify({[k]: v})});
+  document.getElementById('status').textContent = k + ' set';
+}
+async function saveCal() {
+  const p = document.getElementById('savepath').value;
+  const r = await fetch('save', {method:'POST', body: JSON.stringify({path: p})});
+  document.getElementById('status').textContent = await r.text();
+}
+async function calHead() {
+  const r = await fetch('calibrate-head', {method:'POST'});
+  document.getElementById('status').textContent = await r.text();
+}
+async function init() {
+  const meta = await (await fetch('calib')).json();
+  const div = document.getElementById('fields');
+  if (meta.kind === 'MediaPipeFacePoseConverterArgs')
+    document.getElementById('headrow').style.display = '';
+  for (const [k, v] of Object.entries(meta.values)) {
+    const row = document.createElement('div'); row.className = 'row';
+    const lab = document.createElement('label'); lab.textContent = k; row.appendChild(lab);
+    let inp;
+    if (meta.enums[k]) {
+      inp = document.createElement('select');
+      for (const o of meta.enums[k]) {
+        const opt = document.createElement('option');
+        opt.value = o; opt.textContent = o.toLowerCase(); inp.appendChild(opt);
+      }
+      inp.value = v;
+      inp.onchange = () => setParam(k, inp.value);
+    } else if (typeof v === 'boolean') {
+      inp = document.createElement('input'); inp.type = 'checkbox'; inp.checked = v;
+      inp.onchange = () => setParam(k, inp.checked);
+    } else {
+      inp = document.createElement('input'); inp.type = 'number';
+      inp.step = Math.abs(v) >= 10 ? '1' : '0.01'; inp.value = v;
+      inp.onchange = () => setParam(k, parseFloat(inp.value));
+    }
+    row.appendChild(inp); div.appendChild(row);
+  }
+  tick();
+}
+function tick() {
+  const img = document.getElementById('frame');
+  img.onload = () => setTimeout(tick, 66);
+  img.onerror = () => setTimeout(tick, 500);
+  img.src = 'frame.png?t=' + Date.now();
+}
+init();
+</script></body></html>
+"""
+
+
+def _make_web_server(port, poser, image, converter, next_blend, is_mediapipe: bool):
+    """Build the web-puppeteer server + render thread (separated from
+    serve_forever so tests can drive the endpoints on an ephemeral port).
+    Returns (server, state, render_thread); caller starts/stops both."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    import numpy as np
+
+    from tha4_tpu.mocap import calibration as cal
+
+    state = {"png": b"", "fps": None, "last_blend": None, "stop": False}
+    lock = threading.Lock()
+
+    def render_loop():
+        import io
+
+        import PIL.Image
+
+        from tha4_tpu.core import imagecodec
+
+        meter = FpsMeter()
+        last_pose = None
+        while not state["stop"]:
+            blend = next_blend()
+            if blend is None:
+                time.sleep(0.005)
+                continue
+            state["last_blend"] = blend
+            pose = converter.convert(blend)
+            if pose != last_pose:
+                frame = np.asarray(poser.pose(image, np.asarray(pose, np.float32)))[0]
+                display = np.asarray(imagecodec.to_display_rgba(frame))
+                rgb = imagecodec.unpremultiply_alpha(display[..., :3], display[..., 3:4])
+                out = np.concatenate([rgb, display[..., 3:4]], axis=-1)
+                pil = PIL.Image.fromarray(np.uint8(np.clip(out, 0, 1) * 255.0), "RGBA")
+                buf = io.BytesIO()
+                pil.save(buf, format="PNG")
+                with lock:
+                    state["png"] = buf.getvalue()
+                last_pose = pose
+            state["fps"] = meter.tick()
+
+    thread = threading.Thread(target=render_loop, daemon=True)
+
+    enums = {k: [m.name for m in e] for k, e in cal._ENUM_FIELDS.items()}
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):
+            pass
+
+        def _send(self, code, body, ctype="text/plain"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path.startswith("/frame.png"):
+                with lock:
+                    png = state["png"]
+                if not png:
+                    self._send(503, b"warming up")
+                    return
+                self._send(200, png, "image/png")
+            elif self.path.startswith("/calib"):
+                d = cal.calibration_to_dict(converter.args)
+                kind = d.pop("kind")
+                body = json.dumps({"kind": kind, "values": d, "enums": enums}).encode()
+                self._send(200, body, "application/json")
+            else:
+                self._send(200, _WEB_PAGE.encode(), "text/html")
+
+        def do_POST(self):
+            data = self.rfile.read(int(self.headers.get("Content-Length", 0)) or 0)
+            try:
+                if self.path.startswith("/calib"):
+                    cal._assign(converter.args, json.loads(data))
+                    self._send(200, b"ok")
+                elif self.path.startswith("/save"):
+                    path = json.loads(data)["path"]
+                    cal.save_calibration(converter.args, path)
+                    self._send(200, f"saved {path}".encode())
+                elif self.path.startswith("/calibrate-head"):
+                    if not is_mediapipe:
+                        self._send(400, b"only meaningful for --source mediapipe")
+                    elif state["last_blend"] is None:
+                        self._send(503, b"no frame captured yet")
+                    else:
+                        converter.calibrate(state["last_blend"])
+                        self._send(200, b"neutral head set from current frame")
+                else:
+                    self._send(404, b"?")
+            except Exception as e:  # surfaced to the panel, not a crash
+                self._send(400, f"{type(e).__name__}: {e}".encode())
+
+    server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+    return server, state, thread
+
+
+def _run_web(args, poser, image, converter, next_blend, is_mediapipe: bool) -> int:
+    """Live web puppeteer with an interactive calibration panel — the
+    reference's wx calibration UI (ifacialmocap_pose_converter_25.py:188-345,
+    mediapipe_face_pose_converter_00.py:385-391 'Calibrate') as a browser
+    panel over the running converter: edits apply to the next frame, 'save'
+    writes a mocap.calibration JSON reusable via --calibration."""
+    server, state, thread = _make_web_server(
+        args.port, poser, image, converter, next_blend, is_mediapipe
+    )
+    thread.start()
+    print(f"tha4 web puppeteer on http://localhost:{args.port}  (Ctrl-C to stop)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        state["stop"] = True
+    return 0
+
+
 def main(argv=None, mediapipe_landmarker=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
     parser.add_argument("--model", required=True, help="character_model.yaml")
@@ -129,6 +327,9 @@ def main(argv=None, mediapipe_landmarker=None) -> int:
                         help="write the effective calibration (file + overrides + head calibration) to this JSON and continue")
     parser.add_argument("--calibrate-head", action="store_true",
                         help="mediapipe: set the neutral head orientation from the first captured frame (the reference's Calibrate button)")
+    parser.add_argument("--web", action="store_true",
+                        help="serve a live browser view with an interactive calibration panel (the reference's wx calibration UI)")
+    parser.add_argument("--port", type=int, default=8766, help="--web port")
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -191,6 +392,27 @@ def main(argv=None, mediapipe_landmarker=None) -> int:
         cal.save_calibration(conv_args, args.save_calibration)
 
     synthetic = synthetic_blendshape_stream(args.frames or 1_000_000_000)
+
+    if args.web:
+        def next_blend():
+            if args.source == "udp":
+                return receiver.read_pose()
+            if args.source == "mediapipe":
+                try:
+                    return next(mp_stream)
+                except StopIteration:
+                    return None
+            try:
+                return next(synthetic)
+            except StopIteration:
+                return None
+
+        try:
+            return _run_web(args, poser, image, converter, next_blend, args.source == "mediapipe")
+        finally:
+            if receiver is not None:
+                receiver.close()
+
     fps_meter = FpsMeter()
     last_pose = None
     last_frame = None
