@@ -136,3 +136,45 @@ def test_strict_mode_falls_back_to_exact(monkeypatch):
         np.asarray(warp.apply_grid_change(gc_small, img, fast="never")),
         atol=1e-4,
     )
+
+
+def test_trained_flows_fit_the_fast_kernel_budget():
+    """The fast warp's window clamp is safe for REAL trained flows: the
+    shipped lambda_00 body student's grid_change extremes (measured ~58 px
+    horizontal / ~37 px vertical at 512 px over random poses) must stay
+    inside displacement_budget_px for BOTH the forward and backward tile
+    configurations, with the margin this asserts (budgets: 64 px horizontal,
+    52/60 px vertical)."""
+    import numpy as np
+
+    from tests.conftest import reference_available
+
+    if not reference_available():
+        pytest.skip("reference data not mounted")
+
+    from tha4_tpu.convert import torch_weights as tw
+    from tha4_tpu.core import imagecodec
+    from tha4_tpu.models import siren
+
+    L = "/root/reference/data/character_models/lambda_00"
+    params = tw.convert_siren_morpher(tw.load_torch_state_dict(f"{L}/body_morpher.pt"))
+    cfg = siren.SirenMorpherConfig()
+    img = imagecodec.load_image_hwc(f"{L}/character.png")[None]
+    rng = np.random.default_rng(0)
+    pose = rng.uniform(0, 1, (4, 45)).astype(np.float32)
+    pose[:, 35:42] = rng.uniform(-1, 1, (4, 7))
+    outs = siren.siren_morpher_apply_nhwc(
+        cfg, params, jnp.asarray(np.repeat(img, 4, 0)), jnp.asarray(pose)
+    )
+    gc = np.asarray(outs[siren.SIREN_MORPHER_INDEX_GRID_CHANGE])
+    dx_px = float(np.abs(gc[..., 0]).max()) * 256
+    dy_px = float(np.abs(gc[..., 1]).max()) * 256
+
+    img_shape = (1, 512, 512, 4)
+    grid_shape = (1, 512, 512, 2)
+    by, bx = pallas_warp.displacement_budget_px(img_shape, grid_shape)
+    assert dx_px <= bx, (dx_px, bx)
+    assert dy_px <= by, (dy_px, by)
+    # Also the batch-8 training configuration.
+    by8, bx8 = pallas_warp.displacement_budget_px((8, 512, 512, 4), (8, 512, 512, 2))
+    assert dx_px <= bx8 and dy_px <= by8
