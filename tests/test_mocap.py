@@ -183,3 +183,57 @@ def test_mediapipe_converter_and_calibration(tmp_path):
     fp.save(path)
     fp2 = MediaPipeFacePose.load(path)
     np.testing.assert_allclose(fp2.xform_matrix, xform)
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_receiver_udp_roundtrip(use_native):
+    """Real UDP round-trip through IFacialMocapReceiver, on both the native
+    drain-thread path (tha4_tpu/native/mocap_receiver.cpp, skipped when the
+    toolchain is absent) and the reference-style nonblocking-socket fallback.
+    Semantics pinned: freshest packet wins, None when nothing NEW arrived."""
+    import socket as socketlib
+    import time
+
+    from tha4_tpu.mocap.ifacialmocap import IFacialMocapReceiver
+
+    if use_native:
+        from tha4_tpu.native.loader import get_mocap_library
+
+        if get_mocap_library() is None:
+            pytest.skip("native toolchain unavailable")
+
+    port = 49310 + (1 if use_native else 0)
+    rx = IFacialMocapReceiver(port=port, use_native=use_native)
+    rx.start()
+    if use_native:
+        assert rx._native_handle is not None, "native path did not engage"
+    try:
+        tx = socketlib.socket(socketlib.AF_INET, socketlib.SOCK_DGRAM)
+        try:
+            stale = "mouthSmile_L&35|=head#1.0,2.0,3.0,0,0,0|".encode()
+            fresh = "mouthSmile_L&70|jawOpen&50|=head#4.0,5.0,6.0,0,0,0|".encode()
+            tx.sendto(stale, ("127.0.0.1", port))
+            tx.sendto(fresh, ("127.0.0.1", port))
+
+            # Poll until the FRESHEST packet is observed (the native thread
+            # may expose the stale one briefly between the two datagrams).
+            pose = None
+            deadline = time.time() + 5.0
+            while time.time() < deadline:
+                p = rx.read_pose()
+                if p is not None:
+                    pose = p
+                    if abs(p["mouthSmileLeft"] - 0.70) < 1e-9:
+                        break
+                time.sleep(0.01)
+            assert pose is not None, "no packet received"
+            assert abs(pose["mouthSmileLeft"] - 0.70) < 1e-9
+            assert abs(pose["jawOpen"] - 0.50) < 1e-9
+            assert abs(pose["headBoneX"] - 4.0 * 3.14159265 / 180) < 1e-6
+
+            # Nothing new arrived -> None (not a stale re-parse).
+            assert rx.read_pose() is None
+        finally:
+            tx.close()
+    finally:
+        rx.close()

@@ -116,15 +116,45 @@ def parse_ifacialmocap_v1_pose(text: str) -> Dict[str, object]:
 
 
 class IFacialMocapReceiver:
-    """Nonblocking UDP receiver draining to the freshest packet per frame
-    (reference character_model_ifacialmocap_puppeteer.py:93-121)."""
+    """UDP receiver draining to the freshest packet per frame
+    (reference character_model_ifacialmocap_puppeteer.py:93-121).
 
-    def __init__(self, port: int = IFACIALMOCAP_PORT, capture_address: Optional[str] = None):
+    When the native drain-thread receiver builds
+    (tha4_tpu/native/mocap_receiver.cpp), packets are drained continuously
+    OFF the render thread (GIL-free), so each frame parses the packet closest
+    to its own render time instead of whatever sat in the kernel buffer since
+    the previous frame.  Falls back to the reference's nonblocking-socket
+    drain otherwise; PARSING always happens here so the protocol grammar
+    lives in one place.  ``use_native=False`` forces the fallback."""
+
+    def __init__(
+        self,
+        port: int = IFACIALMOCAP_PORT,
+        capture_address: Optional[str] = None,
+        use_native: bool = True,
+    ):
         self.port = port
         self.capture_address = capture_address
         self.socket: Optional[socket.socket] = None
+        self.use_native = use_native
+        self._native = None
+        self._native_handle = None
+        self._native_seq = 0
 
     def start(self) -> None:
+        if self.use_native:
+            from tha4_tpu.native.loader import get_mocap_library
+
+            lib = get_mocap_library()
+            if lib is not None:
+                addr = self.capture_address.encode() if self.capture_address else None
+                handle = lib.tha4_mocap_rx_start(
+                    self.port, addr, IFACIALMOCAP_START_STRING, len(IFACIALMOCAP_START_STRING)
+                )
+                if handle:
+                    self._native = lib
+                    self._native_handle = handle
+                    return
         self.socket = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self.socket.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self.socket.bind(("", self.port))
@@ -134,7 +164,19 @@ class IFacialMocapReceiver:
             self.socket.sendto(IFACIALMOCAP_START_STRING, (self.capture_address, self.port))
 
     def read_pose(self) -> Optional[Dict[str, object]]:
-        """Drain the socket; parse the last packet, or None if none arrived."""
+        """Parse the freshest packet, or None if none arrived since last call."""
+        if self._native_handle is not None:
+            import ctypes
+
+            buf = ctypes.create_string_buffer(8192)
+            seq = ctypes.c_ulonglong(0)
+            n = self._native.tha4_mocap_rx_read(
+                self._native_handle, buf, 8192, ctypes.byref(seq)
+            )
+            if n <= 0 or seq.value == self._native_seq:
+                return None
+            self._native_seq = seq.value
+            return parse_ifacialmocap_v2_pose(buf.raw[:n].decode("utf-8", errors="replace"))
         if self.socket is None:
             return None
         data = None
@@ -150,6 +192,10 @@ class IFacialMocapReceiver:
         return parse_ifacialmocap_v2_pose(data.decode("utf-8", errors="replace"))
 
     def close(self) -> None:
+        if self._native_handle is not None:
+            self._native.tha4_mocap_rx_stop(self._native_handle)
+            self._native_handle = None
+            self._native = None
         if self.socket is not None:
             self.socket.close()
             self.socket = None

@@ -18,8 +18,8 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-def _build(src: str, out: str) -> bool:
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", out, src]
+def _build(src: str, out: str, extra=()) -> bool:
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", *extra, "-o", out, src]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
@@ -27,7 +27,7 @@ def _build(src: str, out: str) -> bool:
         # -march=native can fail on exotic hosts; retry generic.
         try:
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", out, src],
+                ["g++", "-O3", "-shared", "-fPIC", *extra, "-o", out, src],
                 check=True, capture_output=True, timeout=120,
             )
             return True
@@ -61,6 +61,41 @@ def get_codec_library() -> Optional[ctypes.CDLL]:
         ]
         _lib = lib
         return _lib
+
+
+_mocap_lib: Optional[ctypes.CDLL] = None
+_mocap_tried = False
+
+
+def get_mocap_library() -> Optional[ctypes.CDLL]:
+    """The native UDP drain-thread receiver (mocap_receiver.cpp), or None."""
+    global _mocap_lib, _mocap_tried
+    with _lock:
+        if _mocap_lib is not None or _mocap_tried:
+            return _mocap_lib
+        _mocap_tried = True
+        here = os.path.dirname(__file__)
+        src = os.path.join(here, "mocap_receiver.cpp")
+        out = os.path.join(here, "_mocap_receiver.so")
+        if not os.path.exists(out) or os.path.getmtime(out) < os.path.getmtime(src):
+            if not _build(src, out, extra=("-pthread",)):
+                return None
+        try:
+            lib = ctypes.CDLL(out)
+        except OSError:
+            return None
+        lib.tha4_mocap_rx_start.argtypes = [
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int
+        ]
+        lib.tha4_mocap_rx_start.restype = ctypes.c_void_p
+        lib.tha4_mocap_rx_read.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_ulonglong),
+        ]
+        lib.tha4_mocap_rx_read.restype = ctypes.c_longlong
+        lib.tha4_mocap_rx_stop.argtypes = [ctypes.c_void_p]
+        _mocap_lib = lib
+        return _mocap_lib
 
 
 def decode_rgba(rgba_u8, scale: float, offset: float, premultiply: bool):
