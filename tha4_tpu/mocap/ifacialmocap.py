@@ -176,7 +176,9 @@ class IFacialMocapReceiver:
             if n <= 0 or seq.value == self._native_seq:
                 return None
             self._native_seq = seq.value
-            return parse_ifacialmocap_v2_pose(buf.raw[:n].decode("utf-8", errors="replace"))
+            return self._complete(
+                parse_ifacialmocap_v2_pose(buf.raw[:n].decode("utf-8", errors="replace"))
+            )
         if self.socket is None:
             return None
         data = None
@@ -189,7 +191,19 @@ class IFacialMocapReceiver:
                 raise
         if data is None:
             return None
-        return parse_ifacialmocap_v2_pose(data.decode("utf-8", errors="replace"))
+        return self._complete(parse_ifacialmocap_v2_pose(data.decode("utf-8", errors="replace")))
+
+    @staticmethod
+    def _complete(parsed: Dict[str, object]) -> Dict[str, object]:
+        """Overlay the parsed packet on a default pose.  The reference
+        replaces its pose dict wholesale
+        (character_model_ifacialmocap_puppeteer.py:120), which crashes the
+        converter when a packet omits blendshapes — the iOS app always sends
+        complete packets, masking it.  Overlaying is bit-identical for
+        complete packets and robust to partial/foreign senders."""
+        pose = create_default_ifacialmocap_pose()
+        pose.update(parsed)
+        return pose
 
     def close(self) -> None:
         if self._native_handle is not None:
