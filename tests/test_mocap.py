@@ -229,6 +229,10 @@ def test_receiver_udp_roundtrip(use_native):
             assert pose is not None, "no packet received"
             assert abs(pose["mouthSmileLeft"] - 0.70) < 1e-9
             assert abs(pose["jawOpen"] - 0.50) < 1e-9
+            # The sent packets are PARTIAL: blendshapes they omit must come
+            # back defaulted, not missing (the converter reads every key).
+            assert pose["eyeBlinkLeft"] == 0.0
+            assert pose["headBoneQuat"] == [0.0, 0.0, 0.0, 1.0]
             assert abs(pose["headBoneX"] - 4.0 * 3.14159265 / 180) < 1e-6
 
             # Nothing new arrived -> None (not a stale re-parse).
