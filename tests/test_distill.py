@@ -167,3 +167,57 @@ def test_distiller_config_yaml_compat(tmp_path):
     config.save(config.config_yaml_file_name())
     reloaded = DistillerConfig.load(config.config_yaml_file_name())
     assert reloaded.face_morpher_random_seed_0 == config.face_morpher_random_seed_0
+
+
+def test_pose_sampling_spans_pinned_to_schema():
+    """The procedural sampler's morph-category spans must agree with
+    get_pose_parameters() name lookups AND with the documented 45-dim layout
+    (reference src/tha4/poser/modes/pose_parameters.py:4-36) — a schema
+    reorder has to fail here rather than silently corrupt the sampling
+    distribution (round-1/round-2 flagged the hand-derived constants)."""
+    from tha4_tpu.distiller import pose_dataset as pd
+    from tha4_tpu.poser.modes.pose_parameters import get_pose_parameters
+
+    pp = get_pose_parameters()
+    assert pp.get_parameter_count() == 45
+    # Name-derived spans equal the documented absolute indices.
+    assert pd._EYEBROW == (0, 12)
+    assert pd._EYE == (12, 24)
+    assert pd._MOUTH_SHAPES == (26, 32)
+    # And the names bounding each span really are the right groups.
+    assert pp.get_group_start_index("eyebrow_troubled") == 0
+    assert pp.get_group_start_index("eye_wink") == 12
+    assert pp.get_group_start_index("iris_small") == 24
+    assert pp.get_group_start_index("mouth_aaa") == 26
+    assert pp.get_group_start_index("mouth_delta") == 31
+    assert pp.get_group_start_index("mouth_lowered_corner") == 32
+    # Range table: rotations are (-1, 1), morphs (0, 1).
+    for name in ("iris_rotation_x", "head_x", "head_y", "neck_z", "body_y", "body_z"):
+        i = pp.get_parameter_index(name)
+        assert pd._LOWS[i] == -1.0 and pd._HIGHS[i] == 1.0
+    for i in range(26, 32):
+        assert pd._LOWS[i] == 0.0 and pd._HIGHS[i] == 1.0
+
+
+def test_pose_sampling_distribution_sanity():
+    """Categorical sparsity really holds per sample: at most one mouth shape
+    strongly active, at most one eyebrow/eye L-R pair nonzero."""
+    import jax.numpy as jnp
+
+    from tha4_tpu.distiller.pose_dataset import sample_poses
+
+    poses = np.asarray(sample_poses(jax.random.PRNGKey(7), 512))
+    assert poses.shape == (512, 45)
+    # Bounds respected everywhere.
+    assert poses[:, :35].min() >= 0.0 and poses.max() <= 1.0
+    assert poses[:, 35:42].min() >= -1.0
+    # Mouth shapes 26:32 — exactly one may be nonzero per row.
+    mouth_active = (poses[:, 26:32] > 0.0).sum(axis=1)
+    assert mouth_active.max() <= 1
+    # Eyebrow pairs: nonzero entries confined to one 2-wide group per row.
+    for start, stop in ((0, 12), (12, 24)):
+        sec = poses[:, start:stop].reshape(len(poses), -1, 2)
+        pairs_active = (np.abs(sec).sum(axis=2) > 0.0).sum(axis=1)
+        assert pairs_active.max() <= 1
+    # The sampler covers the space: every mouth shape appears somewhere.
+    assert ((poses[:, 26:32] > 0.2).any(axis=0)).all()

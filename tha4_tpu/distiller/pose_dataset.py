@@ -45,10 +45,18 @@ for _g in _pp.get_pose_parameter_groups():
         _LOWS[_g.parameter_index + _k] = _g.range[0]
         _HIGHS[_g.parameter_index + _k] = _g.range[1]
 
-# Index spans of the mutually-sparse morph categories (pose_parameters.py).
-_EYEBROW = (0, 12)
-_EYE = (12, 24)
-_MOUTH_SHAPES = (26, 32)  # aaa iii uuu eee ooo delta (one-hot-ish)
+# Index spans of the mutually-sparse morph categories, derived from the
+# schema BY NAME so a pose_parameters reorder cannot silently shift the
+# sampling distribution (tests/test_distill.py pins these to the documented
+# 45-dim layout).
+_EYEBROW = (_pp.get_group_start_index("eyebrow_troubled"),
+            _pp.get_group_start_index("eye_wink"))
+_EYE = (_pp.get_group_start_index("eye_wink"),
+        _pp.get_group_start_index("iris_small"))
+# aaa iii uuu eee ooo delta (one-hot-ish); the arity-2 mouth corners and
+# smirk that follow stay independently sampled, like the reference UI sliders.
+_MOUTH_SHAPES = (_pp.get_group_start_index("mouth_aaa"),
+                 _pp.get_group_start_index("mouth_lowered_corner"))
 
 
 import functools

@@ -94,6 +94,14 @@ class PoseParameters:
                 index += 1
         raise KeyError(f"Cannot find parameter with name {name}")
 
+    def get_group_start_index(self, group_name: str) -> int:
+        """First parameter index of the named group (an arity-2 group like
+        'eye_wink' spans [start, start+2))."""
+        for group in self.pose_parameter_groups:
+            if group.group_name == group_name:
+                return group.parameter_index
+        raise KeyError(f"Cannot find parameter group with name {group_name}")
+
     def get_parameter_name(self, index: int) -> str:
         assert 0 <= index < self.get_parameter_count()
         for group in self.pose_parameter_groups:
