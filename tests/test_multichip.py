@@ -241,3 +241,50 @@ def test_shard_batch_helper():
     sharded = meshlib.shard_batch(mesh, batch)
     assert sharded["images"].sharding.spec == P("data", "space")
     assert sharded["poses"].sharding.spec == P("data")
+
+
+def test_initialize_multihost_branch_selection(monkeypatch):
+    """parallel.mesh.initialize_multihost picks the right bootstrap branch
+    from the launch environment (torchrun-rendezvous equivalent,
+    parallel/mesh.py): explicit/env coordinator address -> initialize with
+    that address + env process ids; multi-worker TPU pod -> argless
+    auto-detect; bare single-host launch -> no-op returning False."""
+    calls = []
+
+    def fake_initialize(*a, **kw):
+        calls.append((a, kw))
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_initialize)
+    for var in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                "JAX_NUM_PROCESSES", "JAX_PROCESS_ID", "TPU_WORKER_HOSTNAMES"):
+        monkeypatch.delenv(var, raising=False)
+
+    # 1. Nothing configured: must NOT initialize.
+    assert meshlib.initialize_multihost() is False
+    assert calls == []
+
+    # 2. Env coordinator address + process ids -> explicit-address branch.
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+    monkeypatch.setenv("JAX_PROCESS_ID", "2")
+    assert meshlib.initialize_multihost() is True
+    assert calls[-1][1] == {
+        "coordinator_address": "10.0.0.1:1234", "num_processes": 4, "process_id": 2,
+    }
+
+    # 3. Explicit argument wins over env.
+    assert meshlib.initialize_multihost("10.9.9.9:999") is True
+    assert calls[-1][1]["coordinator_address"] == "10.9.9.9:999"
+
+    # 4. TPU pod env (multiple workers), no address -> argless auto-detect.
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
+        monkeypatch.delenv(var)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1")
+    assert meshlib.initialize_multihost() is True
+    assert calls[-1] == ((), {})
+
+    # 5. Single-worker "pod" var (no comma) is NOT a pod: no-op.
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0")
+    n = len(calls)
+    assert meshlib.initialize_multihost() is False
+    assert len(calls) == n
