@@ -26,22 +26,26 @@ class CharacterModel:
         self.character_image_file_name = character_image_file_name
         self.face_morpher_file_name = face_morpher_file_name
         self.body_morpher_file_name = body_morpher_file_name
-        self._poser = None
+        self._posers = {}
         self._character_image: Optional[np.ndarray] = None
 
-    def get_poser(self, compute_dtype=None):
+    def get_poser(self, compute_dtype=None, matmul_precision=None):
         from tha4_tpu.poser.modes import mode_14
 
-        if self._poser is None:
+        # Cache PER (dtype, precision): a second get_poser with a different
+        # precision must not return the first poser.
+        key = (str(compute_dtype), matmul_precision)
+        if key not in self._posers:
             kwargs = {} if compute_dtype is None else {"compute_dtype": compute_dtype}
-            self._poser = mode_14.create_poser(
+            self._posers[key] = mode_14.create_poser(
                 module_file_names={
                     mode_14.KEY_FACE_MORPHER: self.face_morpher_file_name,
                     mode_14.KEY_BODY_MORPHER: self.body_morpher_file_name,
                 },
+                matmul_precision=matmul_precision,
                 **kwargs,
             )
-        return self._poser
+        return self._posers[key]
 
     def get_character_image(self) -> np.ndarray:
         """HWC float32 in model units ([-1,1] premultiplied linear RGBA)."""

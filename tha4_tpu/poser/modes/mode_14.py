@@ -66,6 +66,7 @@ class StudentPoser(Poser):
         body_cfg: Optional[siren.SirenMorpherConfig] = None,
         default_output_index: int = 0,
         compute_dtype=jnp.float32,
+        matmul_precision: Optional[str] = None,
     ):
         self.face_cfg = face_cfg or siren.SirenFaceMorpherConfig()
         self.body_cfg = body_cfg or siren.SirenMorpherConfig()
@@ -75,8 +76,11 @@ class StudentPoser(Poser):
         self.pose_parameters = get_pose_parameters()
 
         cfg_f, cfg_b = self.face_cfg, self.body_cfg
-        # See GeneralPoser: full f32 matmuls on the parity path.
-        precision = "highest" if compute_dtype == jnp.float32 else "default"
+        # Precision ladder on TPU (MXU): 'default' = 1-pass bf16 multiplies,
+        # 'high' = 3-pass bf16 (error-compensated), 'highest' = full f32.
+        # Storage dtype (compute_dtype) and multiply precision are
+        # independent knobs; the parity path wants full f32 matmuls.
+        precision = matmul_precision or ("highest" if compute_dtype == jnp.float32 else "default")
 
         @jax.jit
         def _run(params, image, pose):
@@ -120,6 +124,7 @@ def create_poser(
     module_file_names: Optional[Dict[str, str]] = None,
     default_output_index: int = 0,
     compute_dtype=jnp.float32,
+    matmul_precision: Optional[str] = None,
 ) -> StudentPoser:
     """Build the student poser from torch .pt checkpoints or fresh params
     (reference: src/tha4/poser/modes/mode_14.py:134-161)."""
@@ -131,7 +136,10 @@ def create_poser(
         KEY_FACE_MORPHER: _load_student(module_file_names[KEY_FACE_MORPHER], "face"),
         KEY_BODY_MORPHER: _load_student(module_file_names[KEY_BODY_MORPHER], "body"),
     }
-    return StudentPoser(params, default_output_index=default_output_index, compute_dtype=compute_dtype)
+    return StudentPoser(
+        params, default_output_index=default_output_index,
+        compute_dtype=compute_dtype, matmul_precision=matmul_precision,
+    )
 
 
 def _load_student(path: str, kind: str):
