@@ -75,14 +75,25 @@ def _rot_x(a):
 
 
 def _stub_landmarker(timestamp_ms):
-    """Deterministic FaceLandmarker stand-in: neutral blendshapes, head
-    tilted 0.2 rad about x, mouth progressively opening."""
-    from tha4_tpu.mocap.ifacialmocap import create_default_ifacialmocap_pose
-    from tha4_tpu.mocap.ifacialmocap_constants import JAW_OPEN
+    """Deterministic FaceLandmarker stand-in: like the REAL landmarker, the
+    blendshape dict carries ONLY the 52 ARKit scores (no bone keys — a
+    production result has none; the converter must tolerate that)."""
+    from tha4_tpu.mocap.ifacialmocap_constants import BLENDSHAPE_NAMES, JAW_OPEN
 
-    blend = create_default_ifacialmocap_pose()
+    blend = {name: 0.0 for name in BLENDSHAPE_NAMES}
     blend[JAW_OPEN] = min(1.0, timestamp_ms / 100.0)
     return MediaPipeFacePose(blend, _rot_x(0.2))
+
+
+def test_mediapipe_convert_blendshapes_only():
+    """A real FaceLandmarker result has no bone entries; conversion must not
+    KeyError on the shared blendshape math's bone reads (head rotation comes
+    from the transform matrix)."""
+    conv = MediaPipeFacePoseConverter()
+    pose = conv.convert(_stub_landmarker(50))
+    idx = conv._idx
+    assert abs(pose[idx["head_x"]]) > 0.5  # from the matrix, not bone keys
+    assert pose[idx["mouth_aaa"]] > 0.0  # jawOpen propagated
 
 
 def test_head_calibration_zeroes_neutral_pose():
@@ -158,7 +169,8 @@ def test_web_puppeteer_calibration_panel(tmp_path):
     conv = IFacialMocapPoseConverter(IFacialMocapPoseConverterArgs())
     stream = puppeteer.synthetic_blendshape_stream(1_000_000)
     server, state, render_thread = puppeteer._make_web_server(
-        0, FakePoser(), np.zeros((8, 8, 4), np.float32), conv, lambda: next(stream), False
+        0, FakePoser(), np.zeros((8, 8, 4), np.float32), conv, lambda: next(stream), False,
+        save_dir=str(tmp_path),
     )
     port = server.server_address[1]
     render_thread.start()
@@ -183,14 +195,26 @@ def test_web_puppeteer_calibration_panel(tmp_path):
         assert abs(conv.args.smile_threshold_min - 0.31) < 1e-9
         assert conv.args.wink_mode == WinkMode.RELAXED
 
-        path = str(tmp_path / "c.json")
         req = urllib.request.Request(
-            base + "/save", data=json.dumps({"path": path}).encode(), method="POST"
+            base + "/save", data=json.dumps({"path": "c.json"}).encode(), method="POST"
         )
         assert urllib.request.urlopen(req, timeout=10).status == 200
-        loaded = cal.load_calibration(path)
+        loaded = cal.load_calibration(str(tmp_path / "c.json"))
         assert abs(loaded.smile_threshold_min - 0.31) < 1e-9
         assert loaded.wink_mode == WinkMode.RELAXED
+
+        # /save is confined to save_dir: path components and non-.json names
+        # are rejected, so a network peer cannot write arbitrary host paths.
+        for bad in ("../evil.json", "/tmp/evil.json", "c.txt"):
+            req = urllib.request.Request(
+                base + "/save", data=json.dumps({"path": bad}).encode(), method="POST"
+            )
+            try:
+                urllib.request.urlopen(req, timeout=10)
+                raise AssertionError(f"expected 400 for {bad}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+        assert not (tmp_path / "evil.json").exists()
 
         deadline = time.time() + 20
         png = b""

@@ -53,6 +53,19 @@ def test_parse_v1():
     assert pose[C.HEAD_BONE_Z] == pytest.approx(15 * math.pi / 180)
 
 
+def test_parse_dispatch_v1_vs_v2():
+    """parse_ifacialmocap_pose dispatches on the pair separator: 'key&value'
+    packets go to the v2 parser, legacy 'key-value' packets to v1 — a v1
+    packet must NOT silently lose all its blendshapes to the v2 grammar."""
+    from tha4_tpu.mocap.ifacialmocap import parse_ifacialmocap_pose
+
+    v1 = parse_ifacialmocap_pose("mouthSmile_L-30|=head#0,0,15,0,0,0")
+    assert v1[C.MOUTH_SMILE_LEFT] == pytest.approx(0.3)
+    assert v1[C.HEAD_BONE_Z] == pytest.approx(15 * math.pi / 180)
+    v2 = parse_ifacialmocap_pose("mouthSmile_L&55.5|=head#0,0,15,0,0,0")
+    assert v2[C.MOUTH_SMILE_LEFT] == pytest.approx(0.555)
+
+
 def test_default_pose_complete():
     pose = create_default_ifacialmocap_pose()
     for name in C.BLENDSHAPE_NAMES:

