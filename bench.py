@@ -30,14 +30,17 @@ def main() -> None:
     image = jnp.asarray(model.get_character_image())[None]
 
     pp = get_pose_parameters()
-    rng = np.random.default_rng(0)
 
-    def pose_at(i):
-        pose = pp.get_default_pose()
-        pose[pp.get_parameter_index("head_y")] = float(np.sin(i / 10.0))
-        pose[pp.get_parameter_index("mouth_aaa")] = float(0.5 + 0.5 * np.sin(i / 3.0))
-        pose[pp.get_parameter_index("eye_wink_left")] = float(0.5 + 0.5 * np.sin(i / 7.0))
-        return jnp.asarray(pose)[None]
+    # Indices for the animated sweep — resolved from the schema by name so the
+    # bench drives the same knobs the puppeteer does (blink, talk, head sway,
+    # body sway, breathing) over their real value ranges, not an epsilon ramp.
+    IDX = {
+        name: pp.get_parameter_index(name)
+        for name in (
+            "head_x", "head_y", "neck_z", "body_z", "breathing",
+            "mouth_aaa", "eye_wink_left", "eye_wink_right",
+        )
+    }
 
     # Methodology: on the axon tunnel, block_until_ready returns before the
     # device finishes and per-dispatch round trips cost ~ms, so the honest
@@ -53,13 +56,28 @@ def main() -> None:
     n = 100
     p0 = jnp.asarray(pp.get_default_pose())[None]
 
+    def pose_at(p0, i):
+        """Animated sweep mirroring the synthetic puppeteer stream: blinking,
+        talking, head/body sway, breathing — full schema value ranges."""
+        pose = p0
+        pose = pose.at[0, IDX["head_x"]].set(0.6 * jnp.sin(i / 4.0))
+        pose = pose.at[0, IDX["head_y"]].set(jnp.sin(i / 10.0))
+        pose = pose.at[0, IDX["neck_z"]].set(0.5 * jnp.sin(i / 6.0))
+        pose = pose.at[0, IDX["body_z"]].set(0.4 * jnp.sin(i / 9.0))
+        pose = pose.at[0, IDX["breathing"]].set(0.5 + 0.5 * jnp.sin(i / 5.0))
+        pose = pose.at[0, IDX["mouth_aaa"]].set(0.5 + 0.5 * jnp.sin(i / 3.0))
+        blink = jnp.clip(jnp.sin(i / 7.0) * 8.0 - 7.0, 0.0, 1.0)
+        pose = pose.at[0, IDX["eye_wink_left"]].set(blink)
+        pose = pose.at[0, IDX["eye_wink_right"]].set(blink)
+        return pose
+
     @jax.jit
     def frames(params, image, p0):
         def body(c, i):
-            pose = (p0 + 0.001 * i).astype(jnp.bfloat16)
+            pose = pose_at(p0, i).astype(jnp.bfloat16)
             outs = mode_14.compute_outputs(face_cfg, body_cfg, params, image.astype(jnp.bfloat16), pose)
             return c + outs[0].astype(jnp.float32).mean(), ()
-        c, _ = lax.scan(body, 0.0, jnp.arange(n, dtype=jnp.bfloat16))
+        c, _ = lax.scan(body, 0.0, jnp.arange(n, dtype=jnp.float32))
         return c
 
     float(frames(poser.params, image, p0))  # compile

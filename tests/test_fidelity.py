@@ -88,6 +88,40 @@ def test_lpips_hook_with_synthetic_weights(rng, tmp_path):
     assert fidelity.lpips(a, b, str(path)) > 0.0
 
 
+def test_lpips_proxy_self_contained(rng):
+    """The random-feature perceptual proxy needs no weights files: zero on
+    identical frames, monotone in perturbation size, deterministic."""
+    a = rng.uniform(-1, 1, (64, 64, 4)).astype(np.float32)
+    assert fidelity.lpips_proxy(a, a) == pytest.approx(0.0, abs=1e-10)
+    small = a + 0.02 * rng.standard_normal(a.shape).astype(np.float32)
+    large = a + 0.4 * rng.standard_normal(a.shape).astype(np.float32)
+    d_small = fidelity.lpips_proxy(a, small)
+    d_large = fidelity.lpips_proxy(a, large)
+    assert 0.0 < d_small < d_large
+    assert fidelity.lpips_proxy(a, small) == pytest.approx(d_small, rel=1e-6)
+    # Grayscale input path.
+    g = rng.uniform(-1, 1, (32, 32)).astype(np.float32)
+    assert fidelity.lpips_proxy(g, g) == pytest.approx(0.0, abs=1e-10)
+
+
+def test_lpips_proxy_shift_robustness():
+    """The LPIPS-shaped property deep-feature distances add over pixel
+    metrics: robustness to imperceptible geometric shifts.  At exactly
+    matched per-pixel MSE, a 1-px translation (visually identical) must
+    score well below iid noise of the same energy — PSNR cannot tell the
+    two apart at all."""
+    rng = np.random.default_rng(3)
+    y, x = np.mgrid[0:64, 0:64]
+    a = (np.sin(x / 5.0) * np.cos(y / 7.0)).astype(np.float32)[..., None]
+    a = np.repeat(a, 3, axis=-1)
+    shifted = np.roll(a, 1, axis=1)
+    mse = float(np.mean((a - shifted) ** 2))
+    noise = rng.standard_normal(a.shape).astype(np.float32)
+    noisy = a + noise * np.sqrt(mse / float(np.mean(noise**2)))
+    assert fidelity.psnr(a, shifted) == pytest.approx(fidelity.psnr(a, noisy), abs=0.1)
+    assert 2.0 * fidelity.lpips_proxy(a, shifted) < fidelity.lpips_proxy(a, noisy)
+
+
 def test_pose_suite_ranges():
     poses = fidelity.random_pose_suite(32, seed=1)
     assert poses.shape == (32, 45)

@@ -135,6 +135,38 @@ def test_mode_14_full_pipeline_parity(rng, reference_modules, character_image):
     assert psnr > 60.0, f"PSNR {psnr}"
 
 
+def test_bfloat16_production_path_golden(rng, character_image):
+    """Numerically lock the PRODUCTION fast path: mode_14 at
+    compute_dtype=bfloat16 on the shipped lambda_00 weights vs the f32
+    render (itself locked to the torch reference at >60 dB above).
+
+    Measured reality this floor comes from: ~30.5-30.8 dB on the CPU backend
+    (bf16 storage rounding), 32.05 dB on the real v5e chip (single-pass bf16
+    MXU multiplies; f32 storage at 'default' precision measures the SAME
+    32.05 dB, so the error is the MXU input rounding, not storage).  The
+    floor sits ~2.5 dB under the weakest measurement; a kernel regression
+    that further degrades bf16 numerics fails here.  README quotes the fps
+    table against these PSNRs."""
+    import jax.numpy as jnp
+
+    from tha4_tpu.charmodel import CharacterModel
+    from tha4_tpu.utils import fidelity
+
+    cm = CharacterModel.load(f"{LAMBDA_00}/character_model.yaml")
+    poser_f32 = cm.get_poser()
+    poser_bf16 = cm.get_poser(compute_dtype=jnp.bfloat16)
+    assert poser_f32 is not poser_bf16  # the dtype cache bug regression check
+
+    psnrs, ssims = [], []
+    for pose in _random_pose(rng, 3):
+        fa = np.asarray(poser_f32.pose(character_image, pose))[0]
+        fb = np.asarray(poser_bf16.pose(character_image, pose))[0]
+        psnrs.append(fidelity.psnr(fa, fb))
+        ssims.append(fidelity.ssim(fa, fb))
+    assert min(psnrs) > 28.0, psnrs
+    assert min(ssims) > 0.95, ssims
+
+
 def test_nhwc_and_channels_first_apply_agree(rng, character_image):
     """The training (NHWC) and inference (channels-first) student forwards
     are independent implementations; they must stay numerically equivalent

@@ -142,13 +142,18 @@ def compute_outputs(
     )
 
 
-def load_params_from_torch(module_file_names: Optional[Dict[str, str]] = None) -> Dict:
-    """Convert the five teacher .pt state dicts (reference :272-302)."""
+def load_params_from_torch(
+    module_file_names: Optional[Dict[str, str]] = None,
+    cfg: Optional[TeacherConfig] = None,
+) -> Dict:
+    """Convert the five teacher .pt state dicts (reference :272-302).
+    ``cfg`` sizes the U-Net converters (default: the shipped architecture;
+    tha4-verify passes reduced stand-in sizes in CI)."""
     from tha4_tpu.convert import torch_weights as tw
 
     files = dict(DEFAULT_TEACHER_FILES)
     files.update(module_file_names or {})
-    cfg = TeacherConfig()
+    cfg = cfg or TeacherConfig()
     return {
         KEY_EYEBROW_DECOMPOSER: jax.tree.map(
             jnp.asarray, tw.convert_eyebrow_decomposer(tw.load_torch_state_dict(files[KEY_EYEBROW_DECOMPOSER]))

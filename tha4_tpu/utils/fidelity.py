@@ -189,6 +189,93 @@ def lpips(
     return total
 
 
+# ---------------------------------------------------------------------------
+# Self-contained perceptual proxy (no pretrained weights needed)
+# ---------------------------------------------------------------------------
+
+# BASELINE.md's "LPIPS parity" target needs a perceptual metric that runs with
+# nothing but this repo.  Randomly-initialized conv features are a published,
+# reasonable proxy for learned perceptual distances (the original LPIPS paper
+# [Zhang et al. 2018, Table 5] reports untrained nets already correlating far
+# above pixel metrics; Amir & Weiss 2021, "Understanding and Simplifying
+# Perceptual Distances", analyse why).  ``lpips_proxy`` is exactly that: an
+# LPIPS-shaped distance over a FIXED-SEED random VGG-style stack — deep
+# feature maps, per-channel unit normalization, squared differences averaged
+# over space and layers.  It is a PROXY, labelled as such everywhere: good
+# for relative comparisons (is render A closer to the reference than render
+# B?), not calibrated to human judgments like true AlexNet-LPIPS (use the
+# ``lpips`` weights-file hook above for that).  Known deviation from trained
+# LPIPS: random features respond to noise ENERGY, so iid noise is penalized
+# about as hard as structured damage of equal MSE; what the proxy does add
+# over pixel metrics is strong robustness to imperceptible geometric shifts
+# (tested), the property that matters for warp-field regressions here.
+
+_PROXY_CHANNELS = (16, 32, 64, 96, 128)
+_PROXY_SEED = 20260817
+
+
+def _proxy_params():
+    """Fixed random conv stack (cached): 3x3 He-init kernels, stride 2."""
+    import jax
+    import jax.numpy as jnp
+
+    if not hasattr(_proxy_params, "_cache"):
+        key = jax.random.PRNGKey(_PROXY_SEED)
+        params = []
+        cin = 3
+        for cout in _PROXY_CHANNELS:
+            key, k = jax.random.split(key)
+            w = jax.random.normal(k, (3, 3, cin, cout), jnp.float32)
+            w = w * np.sqrt(2.0 / (9 * cin))
+            params.append(w)
+            cin = cout
+        _proxy_params._cache = params
+    return _proxy_params._cache
+
+
+def _proxy_distance_jit():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    if hasattr(_proxy_distance_jit, "_cache"):
+        return _proxy_distance_jit._cache
+
+    @jax.jit
+    def dist(a, b, weights):
+        # a, b: NHWC RGB in [-1, 1].
+        total = 0.0
+        ha, hb = a, b
+        for w in weights:
+            dn = lax.conv_dimension_numbers(ha.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+            ha = jax.nn.relu(lax.conv_general_dilated(ha, w, (2, 2), "SAME", dimension_numbers=dn))
+            hb = jax.nn.relu(lax.conv_general_dilated(hb, w, (2, 2), "SAME", dimension_numbers=dn))
+            na = ha * lax.rsqrt(jnp.sum(ha * ha, axis=-1, keepdims=True) + 1e-10)
+            nb = hb * lax.rsqrt(jnp.sum(hb * hb, axis=-1, keepdims=True) + 1e-10)
+            total = total + jnp.mean(jnp.sum((na - nb) ** 2, axis=-1))
+        return total / len(weights)
+
+    _proxy_distance_jit._cache = dist
+    return dist
+
+
+def lpips_proxy(a: np.ndarray, b: np.ndarray) -> float:
+    """Perceptual distance between two HWC images in [-1, 1] model units via
+    a fixed-seed RANDOM-feature LPIPS proxy (see module comment above): zero
+    external weights, deterministic across runs/platforms.  Scale is its own
+    (roughly: <0.005 visually identical, >0.05 clearly different); only
+    compare lpips_proxy values with each other."""
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    if a.ndim == 2:
+        a, b = a[..., None], b[..., None]
+    if a.shape[-1] < 3:  # grayscale -> broadcast to RGB
+        a = np.repeat(a[..., :1], 3, axis=-1)
+        b = np.repeat(b[..., :1], 3, axis=-1)
+    dist = _proxy_distance_jit()
+    return float(dist(a[None, ..., :3], b[None, ..., :3], _proxy_params()))
+
+
 def random_pose_suite(n: int, seed: int = 0) -> np.ndarray:
     """Deterministic pose set covering the schema ranges."""
     from tha4_tpu.poser.modes.pose_parameters import get_pose_parameters
@@ -212,16 +299,18 @@ def compare_posers(
     output_index: int = 0,
     lpips_weights: Optional[str] = None,
 ) -> Dict:
-    """Frame-by-frame PSNR / windowed-SSIM (/ LPIPS when weights are given)
-    between two Poser implementations."""
+    """Frame-by-frame PSNR / windowed-SSIM / random-feature perceptual proxy
+    (+ true LPIPS when weights are given) between two Poser implementations."""
     psnrs: List[float] = []
     ssims: List[float] = []
+    proxies: List[float] = []
     lpipss: List[float] = []
     for pose in poses:
         fa = np.asarray(poser_a.pose(image, pose, output_index))
         fb = np.asarray(poser_b.pose(image, pose, output_index))
         psnrs.append(psnr(fa, fb))
         ssims.append(ssim(np.squeeze(fa), np.squeeze(fb)))
+        proxies.append(lpips_proxy(np.squeeze(fa), np.squeeze(fb)))
         d = lpips(np.squeeze(fa), np.squeeze(fb), lpips_weights)
         if d is not None:
             lpipss.append(d)
@@ -229,6 +318,7 @@ def compare_posers(
         "psnr_mean": float(np.mean(psnrs)),
         "psnr_min": float(np.min(psnrs)),
         "ssim_mean": float(np.mean(ssims)),
+        "lpips_proxy_mean": float(np.mean(proxies)),
         "frames": len(psnrs),
     }
     if lpipss:
@@ -242,10 +332,13 @@ def compare_with_reference(
     reference_src: str = "/root/reference/src",
     seed: int = 0,
     lpips_weights: Optional[str] = None,
+    compute_dtype=None,
+    matmul_precision: Optional[str] = None,
 ) -> Optional[Dict]:
-    """Render the same pose suite through this framework and the original
-    PyTorch implementation; returns PSNR/SSIM stats (None if the reference
-    is not mounted)."""
+    """Render the same pose suite through this framework (optionally at a
+    reduced compute dtype / matmul precision — the production fast path) and
+    the original PyTorch implementation; returns PSNR/SSIM/perceptual-proxy
+    stats (None if the reference is not mounted)."""
     import os
     import sys
 
@@ -258,7 +351,7 @@ def compare_with_reference(
     from tha4_tpu.charmodel import CharacterModel
 
     ours = CharacterModel.load(character_model_yaml)
-    poser = ours.get_poser()
+    poser = ours.get_poser(compute_dtype=compute_dtype, matmul_precision=matmul_precision)
     image = ours.get_character_image()
 
     # Load the reference poser through its mode_14 loaders directly (the
@@ -277,13 +370,14 @@ def compare_with_reference(
     ).float()
 
     poses = random_pose_suite(num_poses, seed)
-    psnrs, ssims, lpipss = [], [], []
+    psnrs, ssims, proxies, lpipss = [], [], [], []
     for pose in poses:
         fa = np.asarray(poser.pose(image, pose))[0]
         with torch.no_grad():
             fb = ref_poser.pose(ref_image, torch.from_numpy(pose))[0].permute(1, 2, 0).numpy()
         psnrs.append(psnr(fa, fb))
         ssims.append(ssim(fa, fb))
+        proxies.append(lpips_proxy(fa, fb))
         d = lpips(fa, fb, lpips_weights)
         if d is not None:
             lpipss.append(d)
@@ -291,6 +385,7 @@ def compare_with_reference(
         "psnr_mean": float(np.mean(psnrs)),
         "psnr_min": float(np.min(psnrs)),
         "ssim_mean": float(np.mean(ssims)),
+        "lpips_proxy_mean": float(np.mean(proxies)),
         "frames": len(psnrs),
     }
     if lpipss:
