@@ -148,3 +148,109 @@ def test_packed_channel_stats(rng):
     m1, m2 = PC.packed_channel_stats(xp, 4)
     np.testing.assert_allclose(np.asarray(m1), np.asarray(x.mean(axis=(1, 2))), atol=1e-6)
     np.testing.assert_allclose(np.asarray(m2), np.asarray((x * x).mean(axis=(1, 2))), atol=1e-6)
+
+def test_packed_conv_weights_parts_parity(rng):
+    """Part-major packed conv (lane-concat of per-part packs) equals the
+    plain conv over the channel-concatenated input — the identity that lets
+    up-path skip concats stay packed (ops/packed_conv.py multi-part notes)."""
+    from tha4_tpu.ops import nn as tnn2
+    from tha4_tpu.ops import packed_conv as PC
+
+    f, ca, cb_, co = 4, 8, 12, 16
+    a = jnp.asarray(rng.standard_normal((2, 8, 32, ca)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((2, 8, 32, cb_)), jnp.float32)
+    wts = jnp.asarray(rng.standard_normal((3, 3, ca + cb_, co)) * 0.3, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(co), jnp.float32)
+    ref = tnn2.conv2d({"w": wts, "b": bias}, jnp.concatenate([a, b], axis=-1))
+
+    hcat = jnp.concatenate([PC.pack_nhwc(a, f), PC.pack_nhwc(b, f)], axis=-1)
+    packed = tnn2.conv2d(
+        {"w": PC.pack_conv3_weights_parts(wts, f, (ca, cb_)),
+         "b": PC.tile_channel_vector(bias, f)},
+        hcat,
+    )
+    np.testing.assert_allclose(np.asarray(PC.unpack_nhwc(packed, f)),
+                               np.asarray(ref), atol=2e-5)
+
+    # 1x1 parts + per-part stats/tiling on the same part-major tensor.
+    w1 = jnp.asarray(rng.standard_normal((ca + cb_, co)) * 0.3, jnp.float32)
+    ref1 = tnn2.conv2d({"w": w1[None, None], "b": bias},
+                       jnp.concatenate([a, b], axis=-1), padding=0)
+    got1 = tnn2.conv2d(
+        {"w": PC.pack_conv1_weights_parts(w1, f, (ca, cb_)),
+         "b": PC.tile_channel_vector(bias, f)},
+        hcat, padding=0)
+    np.testing.assert_allclose(np.asarray(PC.unpack_nhwc(got1, f)),
+                               np.asarray(ref1), atol=2e-5)
+
+    m1, m2 = PC.packed_channel_stats_parts(hcat, f, (ca, cb_))
+    cat = jnp.concatenate([a, b], axis=-1)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(cat.mean(axis=(1, 2))), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray((cat * cat).mean(axis=(1, 2))), atol=1e-6)
+
+    v = jnp.asarray(rng.standard_normal((2, ca + cb_)), jnp.float32)
+    tiled = PC.tile_channel_vector_parts(v, f, (ca, cb_))
+    expect = jnp.concatenate(
+        [PC.tile_channel_vector(v[:, :ca], f), PC.tile_channel_vector(v[:, ca:], f)], axis=-1)
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(expect))
+
+
+def test_fused_resblock_packed_multipart(rng):
+    """Multi-part packed resblock (the up-path concat case, without ever
+    unpacking) vs the plain _resblock over the concatenated input."""
+    key = jax.random.PRNGKey(1)
+    ca, cs, cout, f = 16, 8, 16, 4
+    params = unet._init_resblock(key, ca + cs, cout, 24, True)
+    n, h, w = 2, 16, 64
+    a = jnp.asarray(rng.standard_normal((n, h, w, ca)), jnp.float32)
+    s = jnp.asarray(rng.standard_normal((n, h, w, cs)), jnp.float32)
+    cond0 = jnp.asarray(rng.standard_normal((n, 24)), jnp.float32)
+    cond1 = jnp.asarray(rng.standard_normal((n, 24)), jnp.float32)
+
+    from tha4_tpu.ops import packed_conv as PC
+
+    hcat = jnp.concatenate([PC.pack_nhwc(a, f), PC.pack_nhwc(s, f)], axis=-1)
+    got_p, f_out = unet._fused_resblock_packed(
+        params, hcat, f, (ca, cs), cond0, cond1, 1.0, "same")
+    got = PC.unpack_nhwc(got_p, f_out)
+
+    ref = unet._resblock(params, jnp.concatenate([a, s], axis=-1), cond0, cond1, "same", 1.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+
+
+def test_packed_flow_full_unet_parity(rng, monkeypatch):
+    """End-to-end packed flow (skips stored packed, lane-concat up path,
+    packed first/last convs, attention unpack points) vs the plain apply on
+    a full small U-Net with attention and first_conv_addition."""
+    cfg = unet.UnetConfig(
+        in_channels=4, out_channels=7, model_channels=8,
+        # (1, 2, 2): every up-concat channel count stays divisible by its
+        # GroupNorm group count, as in the reference architectures.
+        level_channel_multipliers=(1, 2, 2), level_use_attention=(False, False, True),
+        num_res_blocks_per_level=2, num_middle_res_blocks=2,
+        time_embedding_channels=None, cond_input_channels=6, cond_internal_channels=16,
+        attention=unet.AttentionConfig(num_heads=2, use_new_attention_order=True),
+        dropout_prob=0.0,
+    )
+    key = jax.random.PRNGKey(0)
+    params = unet.init(key, cfg)
+    # Zero-init heads (conv1 / last_conv) would make the comparison trivial;
+    # perturb every leaf so all paths carry signal.
+    leaves, treedef = jax.tree.flatten(params)
+    pkeys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    params = jax.tree.unflatten(
+        treedef,
+        [l + 0.05 * jax.random.normal(k, l.shape, l.dtype) for l, k in zip(leaves, pkeys)],
+    )
+
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 4)), jnp.float32)
+    t = jnp.zeros((2, 1), jnp.float32)
+    cond = jnp.asarray(rng.standard_normal((2, 6)), jnp.float32)
+    fca = jnp.asarray(rng.standard_normal((2, 64, 64, 8)) * 0.2, jnp.float32)
+
+    monkeypatch.setenv("THA4_PACKED_FLOW", "0")
+    ref = unet.apply(cfg, params, x, t, cond, fca)
+    monkeypatch.setenv("THA4_PACKED_FLOW", "force")
+    got = unet.apply(cfg, params, x, t, cond, fca)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)

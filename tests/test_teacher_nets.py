@@ -203,8 +203,11 @@ def _small_unet_cfg():
     )
 
 
+@pytest.mark.parametrize("packed_flow", [False, True])
 @pytest.mark.parametrize("new_order", [True, False])
-def test_unet_parity(rng, new_order):
+def test_unet_parity(rng, new_order, packed_flow, monkeypatch):
+    """Against the torch oracle, for both the plain NHWC path and the
+    end-to-end lane-packed flow (the TPU production formulation)."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -214,6 +217,7 @@ def test_unet_parity(rng, new_order):
     from tha4_tpu.convert import torch_weights as tw
     from tha4_tpu.models import unet
 
+    monkeypatch.setenv("THA4_PACKED_FLOW", "force" if packed_flow else "0")
     torch.manual_seed(3)
     ref = Unet(_small_unet_args(new_order)).eval()
     sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}

@@ -241,6 +241,107 @@ def _fused_resblock(
     return PC.unpack_nhwc(skip + out, f1)
 
 
+def _fused_resblock_packed(
+    params: Dict,
+    xp: jnp.ndarray,
+    f: int,
+    splits: Tuple[int, ...],
+    cond0: jnp.ndarray,
+    cond1: Optional[jnp.ndarray],
+    condition_bias: float,
+    sampling: str = "same",
+) -> Tuple[jnp.ndarray, int]:
+    """ResBlock over an ALREADY-packed input, staying packed end-to-end.
+
+    ``xp`` is (N, H, W/f, f*sum(splits)); ``splits`` is the part-major
+    channel decomposition (len > 1 after an up-path lane-concat of h and a
+    skip — see the multi-part notes in ops/packed_conv.py).  Multi-part
+    inputs cannot be repacked for free, so the convs then run at the given
+    ``f``; single-part inputs repack freely to the best conv factor.
+    Returns (packed output, output factor) — single part, never unpacked.
+    """
+    from tha4_tpu.ops import packed_conv as PC
+
+    n, hh, wq, fc = xp.shape
+    cin = sum(splits)
+    assert fc == f * cin
+    ww = wq * f
+    cout = params["conv0"]["w"].shape[3]
+    dt = xp.dtype
+    multipart = len(splits) > 1
+    assert not (multipart and sampling != "same")
+
+    if multipart:
+        f0 = f1 = f
+    elif sampling == "same":
+        f0 = f1 = PC.pack_factor(cin, cout, ww)
+    elif sampling == "down":
+        f0 = PC.pack_factor(cin, cin, ww)
+        f1 = PC.pack_factor(cin, cout, ww // 2)
+    else:  # up
+        f0 = PC.pack_factor(cin, cin, ww)
+        f1 = PC.pack_factor(cin, cout, ww * 2)
+
+    if not multipart and f0 != f:
+        xp = PC.repack(xp, f, f0)
+
+    m1, m2 = PC.packed_channel_stats_parts(xp, f0, splits)
+    s0, b0 = _fold_affine(m1, m2, min(32, cin), params["norm0"], (), condition_bias)
+    act = jax.nn.silu(
+        xp * PC.tile_channel_vector_parts(s0, f0, splits).astype(dt)[:, None, None, :]
+        + PC.tile_channel_vector_parts(b0, f0, splits).astype(dt)[:, None, None, :]
+    )
+    if sampling == "down":
+        act = PC.repack(PC.avg_pool_2x_packed(act, f0), f0 // 2, f1)
+        xs = PC.repack(PC.avg_pool_2x_packed(xp, f0), f0 // 2, f1)
+    elif sampling == "up":
+        act = PC.repack(PC.upsample_nearest_2x_packed(act, f0), 2 * f0, f1)
+        xs = PC.repack(PC.upsample_nearest_2x_packed(xp, f0), 2 * f0, f1)
+    else:
+        xs = xp
+    h1 = tnn.conv2d(
+        {
+            "w": PC.pack_conv3_weights_parts(params["conv0"]["w"], f1, splits),
+            "b": PC.tile_channel_vector(params["conv0"]["b"], f1),
+        },
+        act,
+    )
+
+    films = [tuple(jnp.split(tnn.linear(params["cond0"], jax.nn.silu(cond0)), 2, axis=-1))]
+    if "cond1" in params and cond1 is not None:
+        films.append(tuple(jnp.split(tnn.linear(params["cond1"], jax.nn.silu(cond1)), 2, axis=-1)))
+    m1, m2 = PC.packed_channel_stats(h1, f1)
+    s1, b1 = _fold_affine(m1, m2, min(32, cout), params["norm1"], films, condition_bias)
+    act1 = jax.nn.silu(
+        h1 * PC.tile_channel_vector(s1, f1).astype(dt)[:, None, None, :]
+        + PC.tile_channel_vector(b1, f1).astype(dt)[:, None, None, :]
+    )
+    out = tnn.conv2d(
+        {
+            "w": PC.pack_conv3_weights(params["conv1"]["w"], f1),
+            "b": PC.tile_channel_vector(params["conv1"]["b"], f1),
+        },
+        act1,
+    )
+
+    if "skip" in params:
+        skip = tnn.conv2d(
+            {
+                "w": PC.pack_conv1_weights_parts(params["skip"]["w"].reshape(cin, cout), f1, splits),
+                "b": PC.tile_channel_vector(params["skip"]["b"], f1),
+            },
+            xs,
+            padding=0,
+        )
+    else:
+        # identity residual requires a single part (part-major lane layout
+        # would not line up with the plain-packed conv output); U-Net up
+        # blocks always have cin > cout, so multipart implies a skip conv.
+        assert not multipart
+        skip = xs
+    return skip + out, f1
+
+
 def _resblock(
     params: Dict,
     x: jnp.ndarray,
@@ -302,6 +403,130 @@ def _attention(params: Dict, x: jnp.ndarray, attn_cfg: AttentionConfig) -> jnp.n
     weight = jax.nn.softmax(weight.astype(jnp.float32), axis=-1).astype(x.dtype)
     out = jnp.einsum("nhts,nshc->nthc", weight, v).reshape(n, hh, ww, c)
     return x + tnn.conv2d(params["proj"], out)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end packed flow
+# ---------------------------------------------------------------------------
+
+
+def _packed_flow_enabled() -> bool:
+    """Keep activations lane-packed ACROSS blocks (not just inside each
+    resblock): skips are stored packed, up-path concats are lane-concats of
+    packed tensors (part-major, see ops/packed_conv.py), and pack/unpack
+    reshapes — each of which forces an XLA relayout copy of a full
+    activation against the conv layout — happen only at attention blocks
+    and the final output.  THA4_PACKED_FLOW=0 disables (per-block fused
+    path still applies), =force enables off-TPU (CPU parity tests)."""
+    import os
+
+    v = os.environ.get("THA4_PACKED_FLOW", "1")
+    if v == "0":
+        return False
+    if v == "force":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _apply_packed_flow(
+    cfg: UnetConfig,
+    params: Dict,
+    x: jnp.ndarray,
+    t_emb: jnp.ndarray,
+    cond_emb: jnp.ndarray,
+    first_conv_addition: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """The down/middle/up loops of ``apply`` with every tensor held packed;
+    numerically identical to the plain path (same convs, same statistics)."""
+    from tha4_tpu.ops import packed_conv as PC
+
+    cb = cfg.condition_bias
+    width = x.shape[2]
+
+    def flow_factor(c: int, w: int) -> int:
+        return PC.pack_factor(c, c, w)
+
+    c = cfg.model_channels
+    f = flow_factor(c, width)
+    h = tnn.conv2d(
+        {
+            "w": PC.pack_conv3_weights(params["first_conv"]["w"], f),
+            "b": PC.tile_channel_vector(params["first_conv"]["b"], f),
+        },
+        PC.pack_nhwc(x, f),
+    )
+    if first_conv_addition is not None:
+        h = h + PC.pack_nhwc(first_conv_addition.astype(h.dtype), f)
+
+    def attend(attn_params, h, f, c, w):
+        xq = PC.unpack_nhwc(h, f)
+        xq = _attention(attn_params, xq, cfg.attention)
+        fn = flow_factor(c, w)
+        return PC.pack_nhwc(xq, fn), fn
+
+    def resample(rb, h, f, c, w, sampling):
+        """down/up resblock; falls back to the plain formulation when the
+        level is too wide to pool/duplicate in packed space (f would be 1)."""
+        if PC.pack_factor(c, c, w) >= 2:
+            return _fused_resblock_packed(rb, h, f, (c,), t_emb, cond_emb, cb, sampling)
+        xq = _resblock(rb, PC.unpack_nhwc(h, f), t_emb, cond_emb, sampling, cb)
+        wn = w // 2 if sampling == "down" else w * 2
+        fn = flow_factor(xq.shape[-1], wn)
+        return PC.pack_nhwc(xq, fn), fn
+
+    hs = [(h, f, c)]
+    for i, blk in enumerate(params["down_blocks"]):
+        for j, rb in enumerate(blk["res_blocks"]):
+            h, f = _fused_resblock_packed(rb, h, f, (c,), t_emb, cond_emb, cb, "same")
+            c = rb["conv0"]["w"].shape[3]
+            if cfg.level_use_attention[i]:
+                h, f = attend(blk["attention_blocks"][j], h, f, c, width)
+            hs.append((h, f, c))
+        if "downsample" in blk:
+            h, f = resample(blk["downsample"], h, f, c, width, "down")
+            width //= 2
+            hs.append((h, f, c))
+
+    for blk in params["middle_blocks"]:
+        if "res" in blk:
+            h, f = _fused_resblock_packed(blk["res"], h, f, (c,), t_emb, cond_emb, cb, "same")
+        else:
+            h, f = attend(blk["attn"], h, f, c, width)
+
+    for idx, blk in enumerate(params["up_blocks"]):
+        i = cfg.num_levels - 1 - idx
+        for j, rb in enumerate(blk["res_blocks"]):
+            sk, fs, cs = hs.pop()
+            ft = PC.pack_factor(c + cs, rb["conv0"]["w"].shape[3], width)
+            hcat = jnp.concatenate(
+                [h if f == ft else PC.repack(h, f, ft),
+                 sk if fs == ft else PC.repack(sk, fs, ft)],
+                axis=-1,
+            )
+            h, f = _fused_resblock_packed(
+                rb, hcat, ft, (c, cs), t_emb, cond_emb, cb, "same")
+            c = rb["conv0"]["w"].shape[3]
+            if cfg.level_use_attention[i]:
+                h, f = attend(blk["attention_blocks"][j], h, f, c, width)
+        if "upsample" in blk:
+            h, f = resample(blk["upsample"], h, f, c, width, "up")
+            width *= 2
+    assert not hs
+
+    m1, m2 = PC.packed_channel_stats(h, f)
+    s, b = _fold_affine(m1, m2, min(32, c), params["last_norm"], (), 1.0)
+    act = jax.nn.silu(
+        h * PC.tile_channel_vector(s, f).astype(h.dtype)[:, None, None, :]
+        + PC.tile_channel_vector(b, f).astype(h.dtype)[:, None, None, :]
+    )
+    out = tnn.conv2d(
+        {
+            "w": PC.pack_conv3_weights(params["last_conv"]["w"], f),
+            "b": PC.tile_channel_vector(params["last_conv"]["b"], f),
+        },
+        act,
+    )
+    return PC.unpack_nhwc(out, f)
 
 
 # ---------------------------------------------------------------------------
@@ -399,6 +624,9 @@ def apply(
     t_emb = t_emb.astype(x.dtype)
     cond_emb = cond_emb.astype(x.dtype)
     cb = cfg.condition_bias
+
+    if _packed_flow_enabled():
+        return _apply_packed_flow(cfg, params, x, t_emb, cond_emb, first_conv_addition)
 
     h = tnn.conv2d(params["first_conv"], x)
     if first_conv_addition is not None:

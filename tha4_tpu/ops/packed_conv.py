@@ -114,6 +114,64 @@ def upsample_nearest_2x_packed(xp: jnp.ndarray, f: int) -> jnp.ndarray:
     return x.reshape(n, 2 * h, wq, 2 * f * c)
 
 
+# ---------------------------------------------------------------------------
+# Multi-part packed tensors
+# ---------------------------------------------------------------------------
+#
+# An up-path skip concat concat([h, skip], axis=-1) in UNPACKED space would
+# force both tensors through a relayout.  Instead we lane-concatenate the two
+# packed tensors directly: concat([pack(h, f), pack(skip, f)], -1).  That is
+# NOT pack(concat(h, skip), f) — the channel groups are part-major — but
+# convolution is linear in input channels, so a conv over the part-major
+# layout is exactly the per-part packed kernels concatenated along the packed
+# input-channel axis, and per-channel affines/stats decompose per part.
+
+
+def pack_conv3_weights_parts(w_hwio: jnp.ndarray, f: int, splits) -> jnp.ndarray:
+    """(3, 3, sum(splits), Co) kernel -> packed kernel for a PART-MAJOR
+    packed input (lane-concat of per-part packs, all at factor ``f``)."""
+    parts = []
+    start = 0
+    for c in splits:
+        parts.append(pack_conv3_weights(w_hwio[:, :, start : start + c], f))
+        start += c
+    return jnp.concatenate(parts, axis=2)
+
+
+def pack_conv1_weights_parts(w_1x1: jnp.ndarray, f: int, splits) -> jnp.ndarray:
+    """(sum(splits), Co) 1x1 kernel -> packed kernel for a part-major input."""
+    parts = []
+    start = 0
+    for c in splits:
+        parts.append(pack_conv1_weights(w_1x1[start : start + c], f))
+        start += c
+    return jnp.concatenate(parts, axis=2)
+
+
+def tile_channel_vector_parts(v: jnp.ndarray, f: int, splits) -> jnp.ndarray:
+    """Per-original-channel vector (..., sum(splits)) -> per-packed-channel
+    vector matching a part-major packed layout."""
+    outs = []
+    start = 0
+    for c in splits:
+        outs.append(tile_channel_vector(v[..., start : start + c], f))
+        start += c
+    return jnp.concatenate(outs, axis=-1)
+
+
+def packed_channel_stats_parts(xp: jnp.ndarray, f: int, splits):
+    """Per-original-channel (m1, m2) of a part-major packed tensor, in
+    original (concatenated) channel order; each (N, sum(splits)) f32."""
+    m1s, m2s = [], []
+    start = 0
+    for c in splits:
+        m1, m2 = packed_channel_stats(xp[..., start * f : (start + c) * f], f)
+        m1s.append(m1)
+        m2s.append(m2)
+        start += c
+    return jnp.concatenate(m1s, axis=-1), jnp.concatenate(m2s, axis=-1)
+
+
 def packed_channel_stats(xp: jnp.ndarray, f: int):
     """Per-ORIGINAL-channel mean / mean-of-squares over (H, Wq, dxp) of a
     packed tensor: exact spatial statistics of the unpacked tensor.
