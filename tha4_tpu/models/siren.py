@@ -75,14 +75,17 @@ def _sine_linear(params: Params, x: jnp.ndarray, omega0: float) -> jnp.ndarray:
 
     Uses the polynomial sine (ops.pallas_siren._fast_sin, max err 6.5e-7 —
     four orders under bf16 quantization): on TPU the VPU transcendental, not
-    the matmul, dominates the sine-layer cost in both directions, and jax
-    autodiffs the polynomial exactly.  _sine_linear_exact stays on builtin
-    sin as the independent oracle (tests/test_siren vs torch lock this path
-    at 2e-4 f32 regardless)."""
-    from tha4_tpu.ops.pallas_siren import _fast_sin
+    the matmul, dominates the sine-layer cost in both directions.  The
+    poly_sin custom_vjp pins the backward residual to the bf16
+    pre-activation with a cos recompute (measured byte/time-neutral vs
+    plain autodiff — XLA already rematerializes the polynomial chain; see
+    its STATUS docstring).  The torch/builtin-sin oracles in
+    tests/test_mode_14_parity.py and tests/test_pallas_siren.py lock this
+    path at 2e-4 f32 regardless."""
+    from tha4_tpu.ops.pallas_siren import poly_sin
 
     pre = x @ params["w"].astype(x.dtype) + params["b"].astype(x.dtype)
-    return _fast_sin(omega0 * pre).astype(x.dtype)
+    return poly_sin(omega0 * pre).astype(x.dtype)
 
 
 def _linear(params: Params, x: jnp.ndarray) -> jnp.ndarray:

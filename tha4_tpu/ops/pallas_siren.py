@@ -79,6 +79,39 @@ def _fast_cos(x):
     return _fast_sin(x.astype(jnp.float32) + (jnp.pi / 2))
 
 
+@jax.custom_vjp
+def poly_sin(a):
+    """``_fast_sin`` with an explicit one-residual VJP for the autodiff path.
+
+    STATUS (measured, v5e): byte/time NEUTRAL vs plain autodiff of the
+    polynomial.  Hypothesis was that autodiff saves full-size f32 residuals
+    (r, r2, Horner products) per sine layer; in fact XLA's fusion already
+    recomputes the whole elementwise chain across the fwd/bwd boundary —
+    cost_analysis reports identical bytes (23.72 GB) and the student B8
+    fwd+bwd measures 64.8 vs 65.7 ms (noise).  Kept anyway: it pins the
+    residual choice (only ``a``, in its incoming dtype — bf16 on the train
+    path) at the jaxpr level, independent of XLA fusion heuristics, and
+    makes the gradient explicit.
+
+    The backward uses cos(a) — the derivative of the TRUE sine; the
+    forward's polynomial has a slightly different exact derivative
+    (relative gap ~1e-6, the poly's fit error — same deliberate
+    approximation as the fused Pallas backward kernel below, and four
+    orders under the 1e-4 gradient-parity test floors)."""
+    return _fast_sin(a).astype(a.dtype)
+
+
+def _poly_sin_fwd(a):
+    return _fast_sin(a).astype(a.dtype), a
+
+
+def _poly_sin_bwd(a, g):
+    return ((g.astype(jnp.float32) * _fast_cos(a)).astype(g.dtype),)
+
+
+poly_sin.defvjp(_poly_sin_fwd, _poly_sin_bwd)
+
+
 def _align8(x: int) -> int:
     return -(-x // 8) * 8
 

@@ -158,6 +158,21 @@ def main():
     run_stage("student body fwd+bwd (train, B)", body_fwd_bwd,
               imageB, posesB, sparams_b, iters=args.iters, rows=rows)
 
+    # Channels-first fused-Pallas alternative (ops/pallas_siren custom_vjp):
+    # measured against the NHWC-autodiff row above to pick the train path.
+    run_stage("student body fwd CF pallas (B)",
+              lambda x, p, sp: siren.siren_morpher_apply(scfg_b, sp, x, p),
+              imageB, posesB, sparams_b, iters=args.iters, rows=rows)
+
+    def body_fwd_bwd_cf(x, p, sp):
+        def loss(params):
+            outs = siren.siren_morpher_apply(scfg_b, params, x, p)
+            return jnp.mean(jnp.abs(outs[siren.SIREN_MORPHER_INDEX_BLENDED_IMAGE].astype(jnp.float32)))
+        return jax.grad(loss)(sp)
+
+    run_stage("student body fwd+bwd CF pallas (B)", body_fwd_bwd_cf,
+              imageB, posesB, sparams_b, iters=args.iters, rows=rows)
+
     # ---- full distill steps ----------------------------------------------
     step = recipes.make_body_distill_step(tcfg, scfg_b, compute_dtype=dt)
     opt = recipes.adam_init(sparams_b)
@@ -166,8 +181,12 @@ def main():
     def body_step_nodonate(image, poses, sp, o_, tp, wts):
         p = jax.tree.map(jnp.copy, sp)
         o = jax.tree.map(jnp.copy, o_)
-        _, _, m = step(p, o, tp, image[:1], poses, 1e-4, wts)
-        return m["loss"]
+        p2, o2, m = step(p, o, tp, image[:1], poses, 1e-4, wts)
+        # Return the UPDATED params/opt state too: returning only the loss
+        # lets XLA dead-code-eliminate the whole backward+Adam (the loss value
+        # depends on the forward alone) — measured 114 "ms/step" vs the real
+        # 168 before this was caught (tools/scan_probe.py).
+        return m["loss"], p2, o2
 
     run_stage("body distill step (teacher+stu)", body_step_nodonate,
               imageB, posesB, sparams_b, opt, tparams, weights,
