@@ -20,8 +20,10 @@ from tha4_tpu.parallel import mesh as meshlib
 from tha4_tpu.poser.modes import mode_12
 
 
-@pytest.fixture(scope="module")
-def tiny_setup():
+def tiny_face_setup():
+    """Deterministic tiny face-distill setup (plain function so the
+    multi-process worker in tests/fixtures/mp_worker.py can rebuild the
+    exact same problem in each process)."""
     cfg = mode_12.FaceTeacherConfig(
         eyebrow_decomposer=eb.EyebrowDecomposerConfig(start_channels=4, num_bottleneck_blocks=1, max_channels=8),
         eyebrow_combiner=eb.EyebrowCombinerConfig(start_channels=4, num_bottleneck_blocks=1, max_channels=8),
@@ -36,6 +38,11 @@ def tiny_setup():
     mask = jnp.zeros((128, 128, 4), jnp.float32)
     poses = jax.random.uniform(jax.random.PRNGKey(5), (8, 45), jnp.float32)
     return cfg, tparams, scfg, sparams, opt, image, mask, poses
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    return tiny_face_setup()
 
 
 def _run_step(mesh, tiny_setup):
