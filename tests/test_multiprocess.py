@@ -43,12 +43,16 @@ def _parse(out: str, tag: str) -> float:
 
 def test_two_process_step_matches_single_process():
     port = _free_port()
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env_base = {
         **os.environ,
         "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
         "JAX_NUM_PROCESSES": "2",
         # The parent's own CPU-device fan-out must not leak into workers.
         "XLA_FLAGS": "",
+        # Workers run with cwd=tests/fixtures; the parent may itself import
+        # tha4_tpu via pytest's rootdir insertion, which children don't get.
+        "PYTHONPATH": repo_root + os.pathsep + os.environ.get("PYTHONPATH", ""),
     }
     procs = []
     for pid in range(2):

@@ -226,6 +226,27 @@ def siren_morpher_init(key, cfg: SirenMorpherConfig) -> Params:
     return {"levels": levels, "last_linear": head}
 
 
+def _first_sine_linear_split(layer: Params, x_resized, pose: jnp.ndarray, size: int, omega0: float):
+    """A level's first sine layer WITHOUT materializing the [x, pos, pose]
+    concat (which at 512^2/B8 is a 575 MB bf16 tensor written + re-read as a
+    backward residual).  The weight rows split as [x | pos | pose]
+    (matching the concat order in the reference, siren_morpher_03.py:92-105),
+    so the layer is x @ W_x plus two cheap terms: a (H, W, C) position map
+    shared across the batch and a (N, C) per-sample pose vector, both
+    accumulated in f32 and folded into the bias."""
+    from tha4_tpu.ops.pallas_siren import poly_sin
+
+    w, b = layer["w"], layer["b"]
+    dt = pose.dtype
+    pos = warp.identity_grid(size, size)  # (H, W, 2) f32
+    cx = 0 if x_resized is None else x_resized.shape[-1]
+    pos_term = pos @ w[cx : cx + 2].astype(jnp.float32)  # (H, W, C)
+    pose_term = pose.astype(jnp.float32) @ w[cx + 2 :].astype(jnp.float32)  # (N, C)
+    bias = (pos_term[None] + pose_term[:, None, None, :] + b.astype(jnp.float32)).astype(dt)
+    pre = bias if x_resized is None else x_resized @ w[:cx].astype(dt) + bias
+    return poly_sin(omega0 * pre).astype(dt)
+
+
 def _position_and_pose(pose: jnp.ndarray, size: int) -> jnp.ndarray:
     n = pose.shape[0]
     pos = warp.identity_grid(size, size).astype(pose.dtype)
@@ -256,13 +277,10 @@ def siren_morpher_apply_nhwc(
     siren_morpher_apply — tests/test_mode_14_parity.py asserts it."""
     x = None
     for i, lv in enumerate(cfg.levels):
-        pp = _position_and_pose(pose, lv.image_size)
-        if i == 0:
-            x = pp
-        else:
-            x = resize_bilinear(x, (lv.image_size, lv.image_size))
-            x = jnp.concatenate([x, pp], axis=-1)
-        for layer in params["levels"][i]:
+        layers = params["levels"][i]
+        xr = None if i == 0 else resize_bilinear(x, (lv.image_size, lv.image_size))
+        x = _first_sine_linear_split(layers[0], xr, pose, lv.image_size, 30.0)
+        for layer in layers[1:]:
             x = _sine_linear(layer, x, 30.0)
     return _morpher_head(_linear(params["last_linear"], x), image)
 
