@@ -221,3 +221,48 @@ def test_pose_sampling_distribution_sanity():
         assert pairs_active.max() <= 1
     # The sampler covers the space: every mouth shape appears somewhere.
     assert ((poses[:, 26:32] > 0.2).any(axis=0)).all()
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference data not mounted")
+def test_distill_cli_random_teacher_flag(tmp_path, monkeypatch):
+    """--random-teacher must inject full-architecture random teacher params
+    into run_config instead of loading the (placeholder) data/tha4/*.pt files
+    (the pipeline-validation / wall-clock-benchmark mode, docs/distill.md)."""
+    import yaml
+
+    from tha4_tpu.apps import distill as distill_app
+
+    prefix = str(tmp_path / "job")
+    os.makedirs(prefix)
+    cfg_path = os.path.join(prefix, "config.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(
+            {
+                "prefix": prefix,
+                "character_image_file_name": "/root/reference/data/images/lambda_00.png",
+                "face_mask_image_file_name": MASK,
+            },
+            f,
+        )
+
+    seen = {}
+
+    def fake_run_config(config, **kwargs):
+        seen.update(kwargs)
+        seen["prefix"] = config.prefix
+
+    def fake_init(key, cfg):
+        return {"marker": "random-teacher"}
+
+    monkeypatch.setattr("tha4_tpu.distiller.pipeline.run_config", fake_run_config)
+    monkeypatch.setattr("tha4_tpu.poser.modes.mode_07.init", fake_init)
+
+    assert distill_app.main(["--config_file", cfg_path, "--random-teacher"]) == 0
+    assert seen["teacher_params_07"] == {"marker": "random-teacher"}
+    assert seen["prefix"] == prefix
+
+    # Without the flag, no teacher params are injected (the pipeline would
+    # load the real .pt files lazily).
+    seen.clear()
+    assert distill_app.main(["--config_file", cfg_path]) == 0
+    assert "teacher_params_07" not in seen

@@ -20,6 +20,16 @@ def main(argv=None) -> int:
     parser.add_argument("--config_file", required=True)
     parser.add_argument("--bf16", action="store_true", default=True)
     parser.add_argument("--f32", dest="bf16", action="store_false")
+    parser.add_argument(
+        "--random-teacher",
+        action="store_true",
+        help="initialize the five teacher networks randomly at the shipped "
+        "architecture instead of loading data/tha4/*.pt — for pipeline "
+        "validation and wall-clock benchmarking when the pretrained teacher "
+        "weights are not present (they are placeholders in some bundles). "
+        "The trained students mimic a random teacher and are NOT usable "
+        "character models; training cost is identical.",
+    )
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
@@ -30,7 +40,19 @@ def main(argv=None) -> int:
     from tha4_tpu.distiller.pipeline import run_config
 
     config = DistillerConfig.load(args.config_file)
-    run_config(config, compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    kwargs = {}
+    if args.random_teacher:
+        import jax
+
+        from tha4_tpu.poser.modes import mode_07
+
+        logging.warning("--random-teacher: training against a randomly initialized "
+                        "teacher (full shipped architecture); outputs are for "
+                        "pipeline/throughput validation only")
+        kwargs["teacher_params_07"] = mode_07.init(
+            jax.random.PRNGKey(0), mode_07.TeacherConfig()
+        )
+    run_config(config, compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32, **kwargs)
     return 0
 
 
