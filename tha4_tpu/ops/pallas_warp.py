@@ -353,8 +353,9 @@ def displacement_budget_px(image_shape, grid_shape) -> Tuple[float, float]:
     wo = grid_shape[2]
     w_pad = -(-w // 128) * 128
     wo_pad = -(-wo // 128) * 128
-    # Report the TIGHTER (backward) configuration: a grid that stays inside
-    # this budget samples exactly in both the forward and backward kernels.
+    # Report the TIGHTER configuration (the corners kernel used under
+    # differentiation): a grid inside this budget samples exactly in both
+    # the primal and the differentiable forward.
     th, tw = _tile_h_bwd(n), _tile_w(wo_pad)
     kh, kw = _window(h, w_pad, tw, th)
     return (kh - th - 8) / 2.0, (kw - tw - 128) / 2.0

@@ -1,0 +1,97 @@
+"""Summarize a distillation run prefix into sustained-throughput numbers.
+
+Reads `<prefix>/{face,body}_morpher/log/scalars.jsonl` (written by
+training.trainer at ~10 s cadence, reference heartbeat semantics) and
+reports, per student and overall:
+
+  * wall-clock span covered by the log (resume-aware: `elapsed` resets on
+    restart, so the log is segmented wherever it decreases),
+  * sustained examples/s and ms/step INCLUDING all host work (checkpoint +
+    snapshot writes, sample grids, logging) — the number that decides real
+    distillation wall-clock, as opposed to tools/chunk_bench.py's pure
+    device step time,
+  * first/last loss.
+
+Run:  python tools/run_report.py _runs/lambda00_full [--batch 8] [--json]
+"""
+
+import argparse
+import json
+import os
+
+
+def read_segments(path):
+    """[(examples0, elapsed0, examples1, elapsed1, loss0, loss1), ...]"""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                rows.append(json.loads(line))
+    segments = []
+    start = 0
+    for i in range(1, len(rows)):
+        if rows[i]["elapsed"] < rows[i - 1]["elapsed"]:
+            segments.append(rows[start:i])
+            start = i
+    segments.append(rows[start:])
+    return [s for s in segments if len(s) >= 2]
+
+
+def report_student(name, prefix, batch):
+    path = os.path.join(prefix, f"{name}_morpher", "log", "scalars.jsonl")
+    if not os.path.isfile(path):
+        return None
+    segments = read_segments(path)
+    if not segments:
+        return None
+    examples = 0.0
+    seconds = 0.0
+    for seg in segments:
+        examples += seg[-1]["examples_seen"] - seg[0]["examples_seen"]
+        seconds += seg[-1]["elapsed"] - seg[0]["elapsed"]
+    if examples <= 0 or seconds <= 0:
+        return None
+    eps = examples / seconds
+    return {
+        "student": name,
+        "segments": len(segments),
+        "examples_covered": int(examples),
+        "examples_seen": int(segments[-1][-1]["examples_seen"]),
+        "wall_s": round(seconds, 1),
+        "examples_per_s": round(eps, 1),
+        "ms_per_step": round(1000.0 * batch / eps, 2),
+        "first_loss": segments[0][0].get("loss"),
+        "last_loss": segments[-1][-1].get("loss"),
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("prefix")
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--json", action="store_true")
+    args = parser.parse_args()
+
+    out = []
+    for name in ("face", "body"):
+        r = report_student(name, args.prefix, args.batch)
+        if r:
+            out.append(r)
+    if args.json:
+        print(json.dumps(out))
+        return
+    for r in out:
+        print(
+            f"{r['student']:5s} examples {r['examples_seen']:>9,}  "
+            f"sustained {r['examples_per_s']:>7.1f} ex/s = {r['ms_per_step']:6.2f} ms/step "
+            f"(B{args.batch}, host work included)  "
+            f"loss {r['first_loss']:.4f} -> {r['last_loss']:.4f}  "
+            f"[{r['wall_s']/3600:.2f} h logged, {r['segments']} segment(s)]"
+        )
+    if not out:
+        print(f"no scalars found under {args.prefix}")
+
+
+if __name__ == "__main__":
+    main()
