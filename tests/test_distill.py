@@ -266,3 +266,105 @@ def test_distill_cli_random_teacher_flag(tmp_path, monkeypatch):
     seen.clear()
     assert distill_app.main(["--config_file", cfg_path]) == 0
     assert "teacher_params_07" not in seen
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference data not mounted")
+def test_face_distill_smoke_meshed_compile_ahead(tmp_path):
+    """The pipeline's compile-ahead path under a real (data) mesh: the
+    trainer captures sharding-annotated ShapeDtypeStructs from the live
+    arrays and the AOT-compiled chunks must accept the loop's sharded
+    params — a plain-CPU run would not catch an aval/sharding mismatch."""
+    import jax.numpy as jnp
+
+    from tha4_tpu.distiller.config import DistillerConfig
+    from tha4_tpu.distiller.pipeline import DistillationJobs
+    from tha4_tpu.parallel import mesh as meshlib
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices (virtual CPU mesh)")
+
+    prefix = str(tmp_path / "distill_mesh")
+    os.makedirs(prefix)
+    config = DistillerConfig(
+        prefix=prefix,
+        character_image_file_name=f"{LAMBDA_00}/character.png",
+        face_mask_image_file_name=MASK,
+        face_morpher_num_training_examples_per_sample_output=None,
+        body_morpher_num_training_examples_per_sample_output=None,
+        face_morpher_batch_size=4,
+        num_gpus=4,
+    )
+    config.check()
+
+    tcfg, tparams = _small_face_teacher()
+    jobs = DistillationJobs(
+        config,
+        teacher_params_12=tparams,
+        teacher_cfg_12=tcfg,
+        compute_dtype=jnp.float32,
+        face_total_examples=320,
+        examples_per_checkpoint=320,
+        examples_per_snapshot=80,
+        mesh=meshlib.make_mesh(data=4, space=1, devices=jax.devices()[:4]),
+    )
+    trainer = jobs.make_face_trainer()
+    assert trainer.chunk_compiler is not None and trainer.cfg.precompile_chunks
+    planned = trainer.plan_chunk_sizes(0, 320)
+    result = trainer.train(320)
+    assert result["examples_seen"] == 320
+    # Every planned size was AOT-compiled and used (none fell back to jit).
+    assert sorted(trainer._chunk_compiled.keys()) == sorted(planned)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference data not mounted")
+def test_sample_writers_through_pipeline(tmp_path):
+    """Both sample-grid writers driven through DistillationJobs (the examples
+    -seen==0 dump that every run writes).  These paths run every 10k examples
+    in production; they must be ONE jitted program each — the eager teacher
+    dispatch they once did cost ~220 s per dump on a tunnel-attached chip
+    (measured in the round-3 wall-clock run) and no test covered them."""
+    import jax.numpy as jnp
+
+    from tha4_tpu.distiller.config import DistillerConfig
+    from tha4_tpu.distiller.pipeline import DistillationJobs
+    from tha4_tpu.models import siren
+    from tests.test_multichip import _tiny_body_setup
+
+    prefix = str(tmp_path / "samples")
+    os.makedirs(prefix)
+    config = DistillerConfig(
+        prefix=prefix,
+        character_image_file_name=f"{LAMBDA_00}/character.png",
+        face_mask_image_file_name=MASK,
+        face_morpher_num_training_examples_per_sample_output=10_000,
+        body_morpher_num_training_examples_per_sample_output=10_000,
+    )
+    config.check()
+
+    fcfg, fparams = _small_face_teacher()
+    bcfg, btparams, bscfg, bsparams = _tiny_body_setup()
+    jobs = DistillationJobs(
+        config,
+        teacher_params_07=btparams,
+        teacher_params_12=fparams,
+        teacher_cfg_07=bcfg,
+        teacher_cfg_12=fcfg,
+        compute_dtype=jnp.float32,
+    )
+    jobs.body_student_cfg = bscfg
+    os.makedirs(config.face_morpher_prefix(), exist_ok=True)
+    os.makedirs(config.body_morpher_prefix(), exist_ok=True)
+
+    face_params = jobs.make_face_trainer().init_params(jax.random.PRNGKey(0))
+    jobs._write_face_samples(face_params, fparams, jobs.character_image, 0)
+    jobs._write_body_samples(bsparams, btparams, jobs.character_image, 0)
+
+    from tha4_tpu.distiller import sample_output
+
+    for pfx in (config.face_morpher_prefix(), config.body_morpher_prefix()):
+        path = sample_output.sample_output_file_name(pfx, 0)
+        assert os.path.isfile(path), path
+        assert os.path.getsize(path) > 1000
+    # The renders are memoized jitted programs (the perf contract).
+    assert jobs._face_sample_render is not None
+    assert jobs._body_sample_render is not None

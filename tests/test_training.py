@@ -1,5 +1,6 @@
 """Training core: checkpoint roundtrip, resume scan, trainer loop, schedules."""
 
+import functools
 import os
 
 import jax
@@ -289,3 +290,138 @@ def test_pose_source_procedural():
     src = PoseSource(None)
     b = src.batch(key, 4)
     assert b.shape == (4, 45)
+
+
+def test_plan_chunk_sizes_matches_loop(tmp_path):
+    """plan_chunk_sizes must predict exactly the chunk sizes train()
+    dispatches (same boundary + power-of-two quantization math) — it is the
+    contract the compile-ahead machinery relies on."""
+    from tha4_tpu.distiller.recipes import adam_init, adam_update
+
+    dispatched = []
+
+    def init_params(key):
+        return {"w": jnp.zeros(())}
+
+    def train_chunk(params, opt_state, chunk_key, examples_seen, lr, weights, n_steps):
+        dispatched.append(n_steps)
+
+        def body(carry, i):
+            p, o = carry
+            x = jax.random.normal(jax.random.fold_in(chunk_key, i), (4,))
+            loss, grads = jax.value_and_grad(lambda q: ((q["w"] * x - x) ** 2).mean())(p)
+            p, o = adam_update(grads, o, p, lr)
+            return (p, o), loss
+
+        (params, opt_state), losses_ = jax.lax.scan(body, (params, opt_state), jnp.arange(n_steps))
+        return params, opt_state, {"loss": losses_[-1]}
+
+    def sample_fn(params, examples_seen):
+        pass
+
+    cfg = TrainerConfig(
+        prefix=str(tmp_path / "plan"),
+        checkpoint_examples=[400, 1000],
+        total_batch_size=4,
+        examples_per_snapshot=100,
+        examples_per_sample_output=250,
+        examples_per_validation=None,
+        random_seed=3,
+        max_chunk_steps=16,
+        precompile_chunks=False,  # exercise the jit path; we only record sizes
+    )
+    trainer = Trainer(
+        cfg,
+        init_params=init_params,
+        init_opt_state=adam_init,
+        train_chunk=train_chunk,
+        lr_fn=lambda e: 0.1,
+        sample_output_fn=sample_fn,
+        schedule_boundaries=[300],
+    )
+    planned = trainer.plan_chunk_sizes(0, 1000)
+    trainer.train(1000)
+    # Same distinct sizes, same first-need order.
+    first_need = []
+    for n in dispatched:
+        if n not in first_need:
+            first_need.append(n)
+    assert planned == first_need, (planned, first_need)
+
+
+def test_compile_ahead_equivalence(tmp_path):
+    """With a chunk_compiler, the loop runs AOT-compiled programs for every
+    planned size and produces the exact same final params as the jit path."""
+    from tha4_tpu.distiller.recipes import adam_init, adam_update
+
+    compiled_sizes = []
+
+    def init_params(key):
+        return {"w": jnp.zeros(())}
+
+    @functools.partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(0, 1))
+    def chunk(params, opt_state, chunk_key, lr, n_steps):
+        def body(carry, i):
+            p, o = carry
+            x = jax.random.normal(jax.random.fold_in(chunk_key, i), (4,))
+            loss, grads = jax.value_and_grad(lambda q: ((q["w"] * x - 3 * x) ** 2).mean())(p)
+            p, o = adam_update(grads, o, p, lr)
+            return (p, o), loss
+
+        (params, opt_state), losses_ = jax.lax.scan(body, (params, opt_state), jnp.arange(n_steps))
+        return params, opt_state, {"loss": losses_[-1]}
+
+    def train_chunk(params, opt_state, chunk_key, examples_seen, lr, weights, n_steps):
+        return chunk(params, opt_state, chunk_key, jnp.float32(lr), n_steps=n_steps)
+
+    def chunk_compiler(n_steps, params, opt_state, chunk_key, examples_seen, lr, weights):
+        compiled_sizes.append(n_steps)
+        compiled = chunk.lower(params, opt_state, chunk_key, jnp.float32(lr), n_steps=n_steps).compile()
+
+        def call(params, opt_state, chunk_key, examples_seen, lr, weights):
+            return compiled(params, opt_state, chunk_key, jnp.float32(lr))
+
+        return call
+
+    def make_cfg(prefix, precompile):
+        return TrainerConfig(
+            prefix=prefix,
+            checkpoint_examples=[480],
+            total_batch_size=4,
+            examples_per_snapshot=120,
+            examples_per_sample_output=None,
+            random_seed=3,
+            max_chunk_steps=16,
+            precompile_chunks=precompile,
+        )
+
+    out_aot = Trainer(
+        make_cfg(str(tmp_path / "aot"), True),
+        init_params=init_params,
+        init_opt_state=adam_init,
+        train_chunk=train_chunk,
+        chunk_compiler=chunk_compiler,
+        lr_fn=lambda e: 0.1,
+    ).train(480)
+    out_jit = Trainer(
+        make_cfg(str(tmp_path / "jit"), False),
+        init_params=init_params,
+        init_opt_state=adam_init,
+        train_chunk=train_chunk,
+        lr_fn=lambda e: 0.1,
+    ).train(480)
+
+    assert sorted(compiled_sizes) == sorted(set(compiled_sizes))  # one compile per size
+    assert set(compiled_sizes) == set(
+        Trainer(
+            make_cfg(str(tmp_path / "plan2"), False),
+            init_params=init_params,
+            init_opt_state=adam_init,
+            train_chunk=train_chunk,
+            lr_fn=lambda e: 0.1,
+        ).plan_chunk_sizes(0, 480)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_aot["params"]["w"]), np.asarray(out_jit["params"]["w"])
+    )
+    assert out_aot["examples_seen"] == out_jit["examples_seen"] == 480

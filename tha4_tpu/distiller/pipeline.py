@@ -73,6 +73,8 @@ class DistillationJobs:
         self._character_image = None
         self._face_trainer = None
         self._body_trainer = None
+        self._face_sample_render = None
+        self._body_sample_render = None
 
         # Multi-chip data parallelism: config.num_gpus names the chip count
         # (field kept for compatibility; chips, not CUDA devices).  The batch
@@ -142,7 +144,20 @@ class DistillationJobs:
         )
 
         def train_chunk(params, opt_state, chunk_key, examples_seen, lr, weights, n_steps):
-            return chunk(params, opt_state, teacher_params, image, mask, chunk_key, lr, n_steps=n_steps)
+            return chunk(params, opt_state, teacher_params, image, mask, chunk_key, jnp.float32(lr), n_steps=n_steps)
+
+        def chunk_compiler(n_steps, params, opt_state, chunk_key, examples_seen, lr, weights):
+            # AOT path for the trainer's compile-ahead: params/opt_state/
+            # chunk_key arrive as (sharding-annotated) ShapeDtypeStructs;
+            # lower only, never execute.
+            compiled = chunk.lower(
+                params, opt_state, teacher_params, image, mask, chunk_key, jnp.float32(lr), n_steps=n_steps
+            ).compile()
+
+            def call(params, opt_state, chunk_key, examples_seen, lr, weights):
+                return compiled(params, opt_state, teacher_params, image, mask, chunk_key, jnp.float32(lr))
+
+            return call
 
         def init_params(key):
             return siren.siren_face_morpher_init(key, self.face_student_cfg)
@@ -164,6 +179,7 @@ class DistillationJobs:
             init_params=init_params,
             init_opt_state=recipes.adam_init,
             train_chunk=train_chunk,
+            chunk_compiler=chunk_compiler,
             schedule_boundaries=[200_000, 500_000, 800_000],  # face lr ladder
             lr_fn=recipes.default_face_lr_fn(),
             sample_output_fn=sample_fn if cadence is not None else None,
@@ -177,16 +193,24 @@ class DistillationJobs:
         poses = self.pose_source.batch(key, 8)
         n = poses.shape[0]
         image_b = jnp.broadcast_to(image, (n,) + image.shape[1:])
-        touts = mode_12.compute_outputs(self.teacher_cfg_12, teacher_params, image_b, poses)
-        gt = np.asarray(
-            touts[mode_12.INDEX_FACE_MORPHED_IMAGE][
-                :, recipes.FACE_CROP_Y0 : recipes.FACE_CROP_Y0 + 128,
-                recipes.FACE_CROP_X0 : recipes.FACE_CROP_X0 + 128, :
-            ]
-        )
-        pred = np.asarray(
-            siren.siren_face_morpher_apply(self.face_student_cfg, params, poses[:, :39])
-        )
+        if self._face_sample_render is None:
+            y0, x0 = recipes.FACE_CROP_Y0, recipes.FACE_CROP_X0
+
+            # One jitted program for the whole render: eagerly dispatching
+            # the teacher op-by-op costs minutes per sample dump on a
+            # tunnel-attached chip (~30 ms per dispatch), and this runs
+            # every 10k examples.
+            @jax.jit
+            def render(tparams, sparams, image_b, poses):
+                touts = mode_12.compute_outputs(self.teacher_cfg_12, tparams, image_b, poses)
+                gt = touts[mode_12.INDEX_FACE_MORPHED_IMAGE][:, y0 : y0 + 128, x0 : x0 + 128, :]
+                pred = siren.siren_face_morpher_apply(
+                    self.face_student_cfg, sparams, poses[:, : self.face_student_cfg.pose_size]
+                )
+                return gt, pred
+
+            self._face_sample_render = render
+        gt, pred = (np.asarray(x) for x in self._face_sample_render(teacher_params, params, image_b, poses))
         cells = [
             [(gt[i], sample_output.ImageType.COLOR), (pred[i], sample_output.ImageType.COLOR)]
             for i in range(n)
@@ -214,7 +238,19 @@ class DistillationJobs:
 
         def train_chunk(params, opt_state, chunk_key, examples_seen, lr, weights, n_steps):
             w = jnp.asarray([weights[t] for t in recipes.BODY_LOSS_TERMS], jnp.float32)
-            return chunk(params, opt_state, teacher_params, image, chunk_key, lr, w, n_steps=n_steps)
+            return chunk(params, opt_state, teacher_params, image, chunk_key, jnp.float32(lr), w, n_steps=n_steps)
+
+        def chunk_compiler(n_steps, params, opt_state, chunk_key, examples_seen, lr, weights):
+            w = jnp.asarray([weights[t] for t in recipes.BODY_LOSS_TERMS], jnp.float32)
+            compiled = chunk.lower(
+                params, opt_state, teacher_params, image, chunk_key, jnp.float32(lr), w, n_steps=n_steps
+            ).compile()
+
+            def call(params, opt_state, chunk_key, examples_seen, lr, weights):
+                w = jnp.asarray([weights[t] for t in recipes.BODY_LOSS_TERMS], jnp.float32)
+                return compiled(params, opt_state, teacher_params, image, chunk_key, jnp.float32(lr), w)
+
+            return call
 
         def init_params(key):
             return siren.siren_morpher_init(key, self.body_student_cfg)
@@ -237,6 +273,7 @@ class DistillationJobs:
             init_params=init_params,
             init_opt_state=recipes.adam_init,
             train_chunk=train_chunk,
+            chunk_compiler=chunk_compiler,
             schedule_boundaries=[p.num_examples_upper_bound for p in phases.phases],
             lr_fn=phases.learning_rate,
             loss_weights_fn=lambda e: phases.loss_weights(recipes.BODY_LOSS_TERMS, e),
@@ -251,13 +288,27 @@ class DistillationJobs:
         poses = self.pose_source.batch(key, 4)
         n = poses.shape[0]
         image_b = jnp.broadcast_to(image, (n,) + image.shape[1:])
-        touts = mode_07.compute_outputs(self.teacher_cfg_07, teacher_params, image_b, poses)
-        gt_posed = np.asarray(touts[0])
-        student_input = touts[mode_07.INDEX_FACE_MORPHED_FULL]
-        souts = siren.siren_morpher_apply(self.body_student_cfg, params, student_input, poses)
-        pred = np.asarray(souts[siren.SIREN_MORPHER_INDEX_BLENDED_IMAGE])
-        alpha = np.asarray(souts[siren.SIREN_MORPHER_INDEX_ALPHA])
-        grid = np.asarray(souts[siren.SIREN_MORPHER_INDEX_GRID_CHANGE])
+        if self._body_sample_render is None:
+
+            # Jitted for the same reason as the face render: the eager
+            # five-net teacher forward is minutes of tunnel dispatches.
+            @jax.jit
+            def render(tparams, sparams, image_b, poses):
+                touts = mode_07.compute_outputs(self.teacher_cfg_07, tparams, image_b, poses)
+                souts = siren.siren_morpher_apply(
+                    self.body_student_cfg, sparams, touts[mode_07.INDEX_FACE_MORPHED_FULL], poses
+                )
+                return (
+                    touts[0],
+                    souts[siren.SIREN_MORPHER_INDEX_BLENDED_IMAGE],
+                    souts[siren.SIREN_MORPHER_INDEX_ALPHA],
+                    souts[siren.SIREN_MORPHER_INDEX_GRID_CHANGE],
+                )
+
+            self._body_sample_render = render
+        gt_posed, pred, alpha, grid = (
+            np.asarray(x) for x in self._body_sample_render(teacher_params, params, image_b, poses)
+        )
         cells = [
             [
                 (gt_posed[i], sample_output.ImageType.COLOR),

@@ -61,6 +61,13 @@ class TrainerConfig:
     # worker kills executions around the ~60 s mark) and bounds how much
     # progress a mid-chunk kill can lose beyond the snapshot cadence.
     max_chunk_steps: int = 512
+    # Compile every chunk size the run will need concurrently in background
+    # threads at start (needs a ``chunk_compiler``), instead of stalling the
+    # training loop on each first-use XLA compile.  Hitting a 10k cadence
+    # boundary exactly takes the binary decomposition of the remainder
+    # (e.g. 1250 steps = 1024+128+64+32+2), and each size is a separate
+    # program costing minutes on a tunnel-attached chip.
+    precompile_chunks: bool = True
 
 
 class Trainer:
@@ -91,6 +98,7 @@ class Trainer:
         train_chunk: Optional[Callable] = None,
         schedule_boundaries: Optional[List[int]] = None,
         module_name: str = KEY_MODULE,
+        chunk_compiler: Optional[Callable] = None,
     ):
         """``train_chunk(params, opt_state, chunk_key, examples_seen, lr,
         weights, n_steps)`` fuses n_steps optimizer steps into one dispatch
@@ -98,7 +106,16 @@ class Trainer:
         dispatches whole cadence windows at once — on the axon tunnel this is
         the difference between ~15 ms/step of host overhead and none.
         ``schedule_boundaries`` lists examples-seen values where lr or loss
-        weights change, so chunks never straddle a phase change."""
+        weights change, so chunks never straddle a phase change.
+
+        ``chunk_compiler(n_steps, params, opt_state, chunk_key,
+        examples_seen, lr, weights)`` AOT-compiles the chunk program for one
+        static size and returns a callable with the train_chunk signature
+        minus n_steps.  params/opt_state/chunk_key may be ShapeDtypeStructs
+        (sharding-annotated) — the compiler must only lower, never execute.
+        With ``cfg.precompile_chunks`` the loop plans every size the run
+        will need (plan_chunk_sizes) and compiles them concurrently up
+        front."""
         self.cfg = cfg
         self.init_params = init_params
         self.init_opt_state = init_opt_state
@@ -111,6 +128,10 @@ class Trainer:
         self.train_chunk = train_chunk
         self.schedule_boundaries = sorted(schedule_boundaries or [])
         self.module_name = module_name
+        self.chunk_compiler = chunk_compiler
+        self._chunk_compiled: Dict[int, Callable] = {}
+        self._chunk_futures: Dict[int, Any] = {}
+        self._compile_pool = None
 
     # -- state ------------------------------------------------------------
 
@@ -150,6 +171,137 @@ class Trainer:
             np.asarray(key),
         )
 
+    # -- chunk planning / compile-ahead ------------------------------------
+
+    def _select_chunk_steps(self, examples_seen: int, boundary: int) -> int:
+        """Steps for the next dispatch: capped at max_chunk_steps, quantized
+        to a power-of-two ladder so the program cache holds a handful of
+        chunk sizes instead of one per remainder."""
+        cfg = self.cfg
+        n_needed = max(1, -(-(boundary - examples_seen) // cfg.total_batch_size))
+        if n_needed >= cfg.max_chunk_steps:
+            return cfg.max_chunk_steps
+        if n_needed <= 8:
+            return n_needed
+        return 1 << (n_needed.bit_length() - 1)
+
+    def _chunk_boundary(
+        self, examples_seen, target_examples, next_snapshot, next_sample, next_validation, checkpoints_due
+    ) -> int:
+        """Next examples-seen value a chunk must not run past."""
+        cfg = self.cfg
+        return min(
+            [b for b in (next_snapshot, target_examples) if b > examples_seen]
+            + (
+                [next_sample]
+                if cfg.examples_per_sample_output is not None and next_sample > examples_seen
+                else []
+            )
+            + ([next_validation] if cfg.examples_per_validation is not None else [])
+            + [c for c in checkpoints_due]
+            + [b for b in self.schedule_boundaries if b > examples_seen]
+        )
+
+    def plan_chunk_sizes(self, examples_seen: int, target_examples: int) -> List[int]:
+        """Every distinct chunk size train() will dispatch from here to the
+        target, in first-need order — the exact boundary/quantization math of
+        the loop, without the training."""
+        cfg = self.cfg
+        e = examples_seen
+        next_snapshot = get_least_greater_multiple(e, cfg.examples_per_snapshot)
+        has_sample = self.sample_output_fn is not None and cfg.examples_per_sample_output is not None
+        next_sample = None
+        if cfg.examples_per_sample_output is not None:
+            next_sample = get_least_greater_multiple(max(e - 1, 0), cfg.examples_per_sample_output)
+            if has_sample and e == 0:
+                next_sample = cfg.examples_per_sample_output
+        has_validation = self.validation_fn is not None and cfg.examples_per_validation is not None
+        next_validation = (
+            get_least_greater_multiple(e, cfg.examples_per_validation)
+            if cfg.examples_per_validation is not None
+            else None
+        )
+        checkpoints_due = [c for c in cfg.checkpoint_examples if c > e and c <= target_examples]
+        sizes: List[int] = []
+        while e < target_examples:
+            boundary = self._chunk_boundary(
+                e, target_examples, next_snapshot, next_sample, next_validation, checkpoints_due
+            )
+            n = self._select_chunk_steps(e, boundary)
+            if n not in sizes:
+                sizes.append(n)
+            e += n * cfg.total_batch_size
+            if e >= next_snapshot:
+                next_snapshot = get_least_greater_multiple(e, cfg.examples_per_snapshot)
+            if has_sample and e >= next_sample:
+                next_sample = get_least_greater_multiple(e, cfg.examples_per_sample_output)
+            if has_validation and e >= next_validation:
+                next_validation = get_least_greater_multiple(e, cfg.examples_per_validation)
+            while checkpoints_due and e >= checkpoints_due[0]:
+                checkpoints_due.pop(0)
+        return sizes
+
+    def _start_precompile(self, params, opt_state, key, examples_seen: int, target_examples: int):
+        """Kick off concurrent AOT compiles of every planned chunk size.
+
+        Uses ShapeDtypeStructs (with the live arrays' shardings) so the
+        compile threads never touch buffers the loop is about to donate.
+        The loop blocks on a size's future only when it first needs it."""
+        if self.chunk_compiler is None or not self.cfg.precompile_chunks:
+            return
+        if os.environ.get("THA4_PRECOMPILE", "1") != "1":
+            return
+        sizes = [n for n in self.plan_chunk_sizes(examples_seen, target_examples) if n not in self._chunk_compiled]
+        if not sizes:
+            return
+        import concurrent.futures
+
+        def sds(x):
+            if hasattr(x, "shape") and hasattr(x, "dtype"):
+                # Propagate sharding only for COMMITTED arrays (explicitly
+                # placed, e.g. prior chunk outputs under a mesh).  Fresh /
+                # checkpoint-loaded arrays are uncommitted and placement-
+                # flexible; baking their incidental device-0 sharding into
+                # the lowering conflicts with in-graph mesh constraints.
+                committed = getattr(x, "_committed", getattr(x, "committed", False))
+                sharding = getattr(x, "sharding", None) if committed else None
+                return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+            return x
+
+        p_s = jax.tree.map(sds, params)
+        o_s = jax.tree.map(sds, opt_state)
+        ck_s = sds(jax.random.fold_in(key, examples_seen))
+        lr0 = self.lr_fn(examples_seen)
+        w0 = self.loss_weights_fn(examples_seen)
+        if self._compile_pool is None:
+            self._compile_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=8, thread_name_prefix="chunk-compile"
+            )
+        for n in sizes:
+            if n in self._chunk_futures:
+                continue
+            self._chunk_futures[n] = self._compile_pool.submit(
+                self.chunk_compiler, n, p_s, o_s, ck_s, examples_seen, lr0, w0
+            )
+        logger.info("Compile-ahead: %d chunk program(s) in flight: %s", len(sizes), sizes)
+
+    def _resolve_chunk(self, n_steps: int) -> Optional[Callable]:
+        """The AOT-compiled callable for this size, waiting on an in-flight
+        compile if needed; None means run through the jit path."""
+        fn = self._chunk_compiled.get(n_steps)
+        if fn is not None:
+            return fn
+        fut = self._chunk_futures.pop(n_steps, None)
+        if fut is None:
+            return None
+        try:
+            fn = fut.result()
+        except Exception:
+            logger.warning("Compile-ahead failed for n_steps=%d; using the jit path", n_steps, exc_info=True)
+            return None
+        self._chunk_compiled[n_steps] = fn
+        return fn
+
     # -- loop -------------------------------------------------------------
 
     def train(self, target_examples: Optional[int] = None) -> Dict:
@@ -163,6 +315,7 @@ class Trainer:
         params, opt_state, examples_seen, key = self._load_or_init(target_examples)
 
         next_snapshot = get_least_greater_multiple(examples_seen, cfg.examples_per_snapshot)
+        next_sample = next_validation = None
         if cfg.examples_per_sample_output is not None:
             next_sample = get_least_greater_multiple(max(examples_seen - 1, 0), cfg.examples_per_sample_output)
         if cfg.examples_per_validation is not None:
@@ -172,6 +325,9 @@ class Trainer:
         if self.sample_output_fn is not None and cfg.examples_per_sample_output is not None and examples_seen == 0:
             self.sample_output_fn(params, examples_seen)
             next_sample = cfg.examples_per_sample_output
+
+        if self.train_chunk is not None:
+            self._start_precompile(params, opt_state, key, examples_seen, target_examples)
 
         last_log_time = time.monotonic()
         t_start = time.monotonic()
@@ -188,28 +344,22 @@ class Trainer:
                 weights = self.loss_weights_fn(examples_seen)
                 if self.train_chunk is not None:
                     # Fused window: run up to the next cadence/schedule/target
-                    # boundary in one dispatch.
-                    boundary = min(
-                        [b for b in (next_snapshot, target_examples) if b > examples_seen]
-                        + ([next_sample] if cfg.examples_per_sample_output is not None and next_sample > examples_seen else [])
-                        + ([next_validation] if cfg.examples_per_validation is not None else [])
-                        + [c for c in checkpoints_due]
-                        + [b for b in self.schedule_boundaries if b > examples_seen]
+                    # boundary in one dispatch, quantized to a power-of-two
+                    # ladder (each distinct size is its own compiled program).
+                    boundary = self._chunk_boundary(
+                        examples_seen, target_examples, next_snapshot, next_sample, next_validation, checkpoints_due
                     )
-                    n_needed = max(1, -(-(boundary - examples_seen) // cfg.total_batch_size))
-                    # Quantize to a power-of-two ladder so the jit cache holds
-                    # a handful of chunk programs instead of one per remainder
-                    # (each recompile costs ~30-60 s on the tunnel).
-                    if n_needed >= cfg.max_chunk_steps:
-                        n_steps = cfg.max_chunk_steps
-                    elif n_needed <= 8:
-                        n_steps = n_needed
-                    else:
-                        n_steps = 1 << (n_needed.bit_length() - 1)
+                    n_steps = self._select_chunk_steps(examples_seen, boundary)
                     chunk_key = jax.random.fold_in(key, examples_seen)
-                    params, opt_state, metrics = self.train_chunk(
-                        params, opt_state, chunk_key, examples_seen, lr, weights, n_steps
-                    )
+                    compiled = self._resolve_chunk(n_steps)
+                    if compiled is not None:
+                        params, opt_state, metrics = compiled(
+                            params, opt_state, chunk_key, examples_seen, lr, weights
+                        )
+                    else:
+                        params, opt_state, metrics = self.train_chunk(
+                            params, opt_state, chunk_key, examples_seen, lr, weights, n_steps
+                        )
                     examples_seen += n_steps * cfg.total_batch_size
                     steps += n_steps
                 else:
@@ -276,5 +426,9 @@ class Trainer:
             log_file.close()
             if tb_writer is not None:
                 tb_writer.close()
+            if self._compile_pool is not None:
+                self._compile_pool.shutdown(wait=False, cancel_futures=True)
+                self._compile_pool = None
+                self._chunk_futures.clear()
 
         return {"params": params, "opt_state": opt_state, "examples_seen": examples_seen, "key": key}
