@@ -30,6 +30,15 @@ def main(argv=None) -> int:
         "The trained students mimic a random teacher and are NOT usable "
         "character models; training cost is identical.",
     )
+    parser.add_argument(
+        "--teacher-int8",
+        action="store_true",
+        help="run the frozen teacher with int8 convolutions (post-training "
+        "quantization, calibrated once on the character image; ops/quant.py). "
+        "~6%% faster distillation step; the distillation labels differ "
+        "slightly from the bf16 teacher — see docs/perf.md for the measured "
+        "fidelity/outcome numbers before enabling.",
+    )
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
@@ -52,6 +61,8 @@ def main(argv=None) -> int:
         kwargs["teacher_params_07"] = mode_07.init(
             jax.random.PRNGKey(0), mode_07.TeacherConfig()
         )
+    if args.teacher_int8:
+        kwargs["teacher_int8"] = True
     run_config(config, compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32, **kwargs)
     return 0
 

@@ -55,8 +55,12 @@ class DistillationJobs:
         examples_per_checkpoint: int = recipes.EXAMPLES_PER_CHECKPOINT,
         examples_per_snapshot: int = 10_000,
         mesh=None,
+        teacher_int8: bool = False,
     ):
         self.config = config
+        self.teacher_int8 = teacher_int8
+        self._teacher_quant_07 = None
+        self._teacher_quant_12 = None
         self.compute_dtype = compute_dtype
         self.teacher_cfg_07 = teacher_cfg_07 or mode_07.TeacherConfig()
         self.teacher_cfg_12 = teacher_cfg_12 or mode_12.FaceTeacherConfig()
@@ -121,6 +125,46 @@ class DistillationJobs:
                 self._teacher_params_12 = mode_12.load_params_from_torch()
         return self._teacher_params_12
 
+    def teacher_quant_07(self):
+        """Calibrated int8 activation scales for the frozen mode_07 teacher
+        (ops/quant.py), or None when int8 is off.  Calibrated once per run on
+        the actual character image + a pose-dataset batch and saved next to
+        the training outputs for the record."""
+        if not self.teacher_int8:
+            return None
+        if self._teacher_quant_07 is None:
+            self._teacher_quant_07 = self._calibrate(
+                "07", lambda tp, i, p: mode_07.compute_outputs(self.teacher_cfg_07, tp, i, p),
+                self.teacher_params_07())
+        return self._teacher_quant_07
+
+    def teacher_quant_12(self):
+        if not self.teacher_int8:
+            return None
+        if self._teacher_quant_12 is None:
+            self._teacher_quant_12 = self._calibrate(
+                "12", lambda tp, i, p: mode_12.compute_outputs(self.teacher_cfg_12, tp, i, p),
+                self.teacher_params_12())
+        return self._teacher_quant_12
+
+    def _calibrate(self, tag: str, fn, teacher_params):
+        import os
+
+        from tha4_tpu.ops import quant
+
+        key = jax.random.PRNGKey(0xCA11B)
+        poses = self.pose_source.batch(key, 8).astype(self.compute_dtype)
+        image = self.character_image.astype(self.compute_dtype)  # (1, H, W, 4)
+        image_b = jnp.broadcast_to(image, (8,) + image.shape[1:])
+        scales = quant.run_calibration(fn, teacher_params, image_b, poses)
+        logger.info("int8 teacher (mode_%s): calibrated %d convs", tag, len(scales))
+        try:
+            os.makedirs(self.config.prefix, exist_ok=True)
+            quant.save_scales(os.path.join(self.config.prefix, f"teacher_int8_scales_{tag}.json"), scales)
+        except OSError:
+            pass  # scales are reproducible; persistence is best-effort
+        return scales
+
     def checkpoint_boundaries(self, total: int):
         n = total // self.examples_per_checkpoint
         return [self.examples_per_checkpoint * (i + 1) for i in range(n)]
@@ -141,6 +185,7 @@ class DistillationJobs:
             self.compute_dtype,
             mesh=self.mesh,
             lookahead=recipes.default_lookahead(config.face_morpher_batch_size, self.mesh),
+            teacher_quant=self.teacher_quant_12(),
         )
 
         def train_chunk(params, opt_state, chunk_key, examples_seen, lr, weights, n_steps):
@@ -234,6 +279,7 @@ class DistillationJobs:
             self.compute_dtype,
             mesh=self.mesh,
             lookahead=recipes.default_lookahead(config.body_morpher_batch_size, self.mesh),
+            teacher_quant=self.teacher_quant_07(),
         )
 
         def train_chunk(params, opt_state, chunk_key, examples_seen, lr, weights, n_steps):

@@ -35,6 +35,7 @@ import numpy as np
 import optax
 
 from tha4_tpu.models import siren
+from tha4_tpu.ops import quant
 from tha4_tpu.poser.modes import mode_07, mode_12, mode_14
 from tha4_tpu.training import losses
 from tha4_tpu.training.schedules import TrainingPhase, TrainingPhases, step_lr_schedule
@@ -178,6 +179,7 @@ def make_face_distill_chunk(
     compute_dtype=jnp.bfloat16,
     mesh=None,
     lookahead: int = 1,
+    teacher_quant=None,
 ):
     """Multi-step fused trainer: ONE dispatch runs ``n_steps`` optimization
     steps via lax.scan, with pose-batch sampling inside the compiled program.
@@ -194,9 +196,10 @@ def make_face_distill_chunk(
     def teacher_targets(teacher_params, image, poses):
         n = poses.shape[0]
         image_b = jnp.broadcast_to(image.astype(compute_dtype), (n,) + image.shape[1:])
-        teacher_outs = mode_12.compute_outputs(
-            teacher_cfg, teacher_params, image_b, poses.astype(compute_dtype)
-        )
+        with quant.apply_scales(teacher_quant):
+            teacher_outs = mode_12.compute_outputs(
+                teacher_cfg, teacher_params, image_b, poses.astype(compute_dtype)
+            )
         face_morphed = jax.lax.stop_gradient(teacher_outs[mode_12.INDEX_FACE_MORPHED_IMAGE])
         return face_morphed[:, FACE_CROP_Y0 : FACE_CROP_Y0 + 128, FACE_CROP_X0 : FACE_CROP_X0 + 128, :]
 
@@ -289,6 +292,7 @@ def make_body_distill_chunk(
     compute_dtype=jnp.bfloat16,
     mesh=None,
     lookahead: int = 1,
+    teacher_quant=None,
 ):
     """Body-student analogue of make_face_distill_chunk.
 
@@ -307,7 +311,8 @@ def make_body_distill_chunk(
     def teacher_targets(teacher_params, image, poses):
         n = poses.shape[0]
         image_b = jnp.broadcast_to(image.astype(compute_dtype), (n,) + image.shape[1:])
-        t = mode_07.compute_outputs(teacher_cfg, teacher_params, image_b, poses.astype(compute_dtype))
+        with quant.apply_scales(teacher_quant):
+            t = mode_07.compute_outputs(teacher_cfg, teacher_params, image_b, poses.astype(compute_dtype))
         # Stash stays in compute dtype (the loss casts to f32 at use, exactly
         # as the unstashed path did on the already-compute-dtype outputs).
         return tuple(

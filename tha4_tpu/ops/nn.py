@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from tha4_tpu.ops import quant
+
 Params = Dict[str, jnp.ndarray]
 
 # ---------------------------------------------------------------------------
@@ -152,11 +154,27 @@ _DIMSPEC = ("NHWC", "HWIO", "NHWC")
 
 
 def conv2d(params: Params, x: jnp.ndarray, stride: int = 1, padding: Optional[int] = None) -> jnp.ndarray:
-    """2-D conv, NHWC x HWIO. Default padding = 'same-ish' torch (k-1)//2."""
+    """2-D conv, NHWC x HWIO. Default padding = 'same-ish' torch (k-1)//2.
+
+    The single chokepoint every model conv routes through; when an int8
+    quantization scope is active (ops/quant.py — frozen-teacher PTQ) and the
+    call is eligible, the conv runs int8 on the MXU instead of bf16."""
     w = params["w"].astype(x.dtype)
     kh, kw = w.shape[0], w.shape[1]
     if padding is None:
         padding = (kh - 1) // 2
+
+    qctx = quant.current()
+    if qctx is not None and quant.eligible(x.shape, w.shape, stride):
+        if isinstance(qctx, quant.Calibration):
+            qctx.observe(x, w, stride)
+        else:
+            x_scale = qctx.next_scale(x, w, stride)
+            out = quant.conv2d_int8(x, params["w"], x_scale, padding)
+            if "b" in params:
+                out = out + params["b"].astype(x.dtype)
+            return out
+
     out = lax.conv_general_dilated(
         x,
         w,

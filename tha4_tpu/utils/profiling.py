@@ -97,6 +97,16 @@ def device_timeit(fn: Callable, *args, iters: int = 100) -> float:
                 leaves = list(leaves)
                 leaves[k] = leaf + _eps(i, leaf.dtype)
                 break
+        else:
+            # All-integer inputs (e.g. pure int8 conv probes) must still carry
+            # a data dependence on the loop counter or the body is hoisted.
+            # i // 2^30 is 0 for any realistic iters but dynamic to XLA
+            # (i is a scanned value, not a compile-time iota).
+            for k, leaf in enumerate(leaves):
+                if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.integer):
+                    leaves = list(leaves)
+                    leaves[k] = leaf + (i.astype(jnp.int32) // jnp.int32(2**30)).astype(leaf.dtype)
+                    break
         return jax.tree.unflatten(treedef, leaves)
 
     @jax.jit

@@ -44,6 +44,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps-body", type=int, default=120)
     parser.add_argument("--steps-face", type=int, default=500)
+    parser.add_argument("--teacher-int8", action="store_true",
+                        help="calibrate + run the frozen teacher int8 (ops/quant.py)")
     parser.add_argument("--json", default=None)
     args = parser.parse_args()
 
@@ -80,14 +82,28 @@ def main():
     weights = jnp.asarray([1.0, 2.5, 5.0, 1.0], jnp.float32)
     mask = jnp.ones((128, 128, 4), dt)
     rows = []
-    print(f"device={jax.devices()[0]} dtype=bf16", flush=True)
+
+    body_quant = face_quant = None
+    if args.teacher_int8:
+        from tha4_tpu.distiller.pose_dataset import sample_poses as _sp
+        from tha4_tpu.ops import quant
+        img8 = jnp.broadcast_to(image, (8,) + image.shape[1:])
+        poses8 = _sp(key, 8).astype(dt)
+        body_quant = quant.run_calibration(
+            lambda tp, i, p: mode_07.compute_outputs(tcfg, tp, i, p), tparams, img8, poses8)
+        face_quant = quant.run_calibration(
+            lambda tp, i, p: mode_12.compute_outputs(fcfg, tp, i, p), ftparams, img8, poses8)
+        print(f"int8 teacher: body {len(body_quant)} convs, face {len(face_quant)} convs", flush=True)
+
+    print(f"device={jax.devices()[0]} dtype=bf16 teacher_int8={args.teacher_int8}", flush=True)
 
     for name, b, k, n in [
         ("body B8 K1 (single-chip baseline)", 8, 1, args.steps_body),
         ("body B1 K8 (per-chip DP share)", 1, 8, args.steps_body * 2),
     ]:
         chunk = recipes.make_body_distill_chunk(
-            tcfg, scfg_b, sample_poses, batch_size=b, compute_dtype=dt, lookahead=k)
+            tcfg, scfg_b, sample_poses, batch_size=b, compute_dtype=dt, lookahead=k,
+            teacher_quant=body_quant)
         ms, loss = time_chunk(
             body_state, chunk, (tparams, image, key, 1e-4, weights), n)
         rows.append({"config": name, "ms_per_step": round(ms, 2), "loss": round(loss, 4)})
@@ -98,7 +114,8 @@ def main():
         ("face B1 K8 (per-chip DP share)", 1, 8, args.steps_face * 2),
     ]:
         chunk = recipes.make_face_distill_chunk(
-            fcfg, scfg_f, sample_poses, batch_size=b, compute_dtype=dt, lookahead=k)
+            fcfg, scfg_f, sample_poses, batch_size=b, compute_dtype=dt, lookahead=k,
+            teacher_quant=face_quant)
         ms, loss = time_chunk(
             face_state, chunk, (ftparams, image, mask, key, 1e-4), n)
         rows.append({"config": name, "ms_per_step": round(ms, 2), "loss": round(loss, 4)})
