@@ -193,3 +193,29 @@ def test_resize_nchw_matches_nhwc(rng):
     a = np.asarray(resize_bilinear_nchw(jnp.asarray(x), (32, 32)))
     b = np.asarray(resize_bilinear(jnp.asarray(np.transpose(x, (0, 2, 3, 1))), (32, 32)))
     np.testing.assert_allclose(a, np.transpose(b, (0, 3, 1, 2)), atol=1e-5)
+
+
+def test_persistent_compile_cache_enabled(tmp_path, monkeypatch):
+    """Importing tha4_tpu enables the persistent XLA compile cache (and the
+    helper honors the opt-out / redirect env vars without re-latching)."""
+    import jax
+
+    from tha4_tpu.utils import compile_cache
+
+    # The package import in conftest already enabled it.
+    original = jax.config.jax_compilation_cache_dir
+    assert original
+    assert compile_cache.enable_persistent_cache()  # idempotent
+
+    # Opt-out is only consulted before first enablement.
+    monkeypatch.setattr(compile_cache, "_enabled", False)
+    monkeypatch.setenv("THA4_COMPILE_CACHE", "0")
+    assert not compile_cache.enable_persistent_cache()
+
+    monkeypatch.setenv("THA4_COMPILE_CACHE", "1")
+    monkeypatch.setenv("THA4_COMPILE_CACHE_DIR", str(tmp_path / "xla"))
+    assert compile_cache.enable_persistent_cache()
+    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "xla")
+
+    # Point back at the session cache dir (tmp_path is deleted after this).
+    jax.config.update("jax_compilation_cache_dir", original)

@@ -26,3 +26,8 @@ Design stance (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+from tha4_tpu.utils.compile_cache import enable_persistent_cache as _enable_cc
+
+_enable_cc()
+del _enable_cc

@@ -17,6 +17,11 @@ can return before the device finishes; a value fetch cannot).
 Run:  python tools/chunk_bench.py [--steps-body 120] [--steps-face 500]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import time

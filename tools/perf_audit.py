@@ -13,6 +13,11 @@ Peaks used (TPU v5e / v5 lite, per chip): 197 TFLOP/s bf16 MXU,
 kernels at the same dtype/layout — only by fusing away memory traffic.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 

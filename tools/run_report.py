@@ -15,6 +15,11 @@ reports, per student and overall:
 Run:  python tools/run_report.py _runs/lambda00_full [--batch 8] [--json]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import os

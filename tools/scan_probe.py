@@ -14,6 +14,11 @@ inside a no-donation lax.scan) to find where the difference lives:
 Run:  python tools/scan_probe.py [--batch 8] [--steps 40]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import time
 

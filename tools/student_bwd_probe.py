@@ -15,6 +15,11 @@ This probe splits the cost three ways to find it:
 Run:  python tools/student_bwd_probe.py [--batch 8]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import functools
 

@@ -10,6 +10,11 @@ isolation at training shapes (B8, bf16).
 Run:  PYTHONPATH=/root/.axon_site:. python tools/student_head_probe.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import jax

@@ -11,6 +11,11 @@ measured 1.23 ms vs th=16/kh=128 at 1.37 ms despite 50% more FLOPs).
 Run:  python tools/warp_probe.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import functools
 
 import jax
