@@ -202,20 +202,28 @@ def test_persistent_compile_cache_enabled(tmp_path, monkeypatch):
 
     from tha4_tpu.utils import compile_cache
 
-    # The package import in conftest already enabled it.
+    # Enablement normally happens at `import tha4_tpu` time (this module's
+    # own import header), but the suite may run with THA4_COMPILE_CACHE=0 —
+    # so enable explicitly here with the env forced on, rather than relying
+    # on ambient import-time state.
     original = jax.config.jax_compilation_cache_dir
-    assert original
-    assert compile_cache.enable_persistent_cache()  # idempotent
-
-    # Opt-out is only consulted before first enablement.
-    monkeypatch.setattr(compile_cache, "_enabled", False)
-    monkeypatch.setenv("THA4_COMPILE_CACHE", "0")
-    assert not compile_cache.enable_persistent_cache()
-
     monkeypatch.setenv("THA4_COMPILE_CACHE", "1")
-    monkeypatch.setenv("THA4_COMPILE_CACHE_DIR", str(tmp_path / "xla"))
-    assert compile_cache.enable_persistent_cache()
-    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "xla")
+    try:
+        monkeypatch.setattr(compile_cache, "_enabled", False)
+        assert compile_cache.enable_persistent_cache()
+        assert jax.config.jax_compilation_cache_dir
+        assert compile_cache.enable_persistent_cache()  # idempotent
 
-    # Point back at the session cache dir (tmp_path is deleted after this).
-    jax.config.update("jax_compilation_cache_dir", original)
+        # Opt-out is only consulted before first enablement.
+        monkeypatch.setattr(compile_cache, "_enabled", False)
+        monkeypatch.setenv("THA4_COMPILE_CACHE", "0")
+        assert not compile_cache.enable_persistent_cache()
+
+        monkeypatch.setenv("THA4_COMPILE_CACHE", "1")
+        monkeypatch.setenv("THA4_COMPILE_CACHE_DIR", str(tmp_path / "xla"))
+        assert compile_cache.enable_persistent_cache()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "xla")
+    finally:
+        # Never leave the process-global cache dir pointed at the deleted
+        # tmp_path, even when an assert above fails.
+        jax.config.update("jax_compilation_cache_dir", original)

@@ -368,3 +368,74 @@ def test_sample_writers_through_pipeline(tmp_path):
     # The renders are memoized jitted programs (the perf contract).
     assert jobs._face_sample_render is not None
     assert jobs._body_sample_render is not None
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference data not mounted")
+def test_sample_image_spec_writer_matches_reference(tmp_path):
+    """Column-spec grid writer (BATCH/OUTPUT sources, all four render types
+    incl. SIGMOID_LOGIT) vs the reference SampleImageSaver, pixel-for-pixel
+    on the written PNGs (reference sample_image_creator.py:86-130)."""
+    torch = pytest.importorskip("torch")
+    pytest.importorskip("matplotlib")
+    add_reference_to_path()
+    from tha4.sampleoutput.sample_image_creator import (
+        ImageSource as RefSource,
+        ImageType as RefType,
+        SampleImageSaver,
+        SampleImageSpec as RefSpec,
+    )
+
+    from tha4_tpu.distiller import sample_output as so
+
+    rng = np.random.RandomState(7)
+    n, hw = 3, 16
+    batch = [rng.uniform(-1, 1, (n, hw, hw, 4)).astype(np.float32)]
+    outputs = [
+        rng.uniform(-1, 1, (n, hw, hw, 4)).astype(np.float32),  # COLOR
+        rng.uniform(0, 1, (n, hw, hw, 1)).astype(np.float32),  # ALPHA
+        rng.uniform(-0.3, 0.3, (n, hw, hw, 2)).astype(np.float32),  # GRID_CHANGE
+        rng.uniform(-4, 4, (n, hw, hw, 1)).astype(np.float32),  # SIGMOID_LOGIT
+    ]
+    specs = [
+        so.SampleImageSpec(so.ImageSource.BATCH, 0, so.ImageType.COLOR),
+        so.SampleImageSpec(so.ImageSource.OUTPUT, 0, so.ImageType.COLOR),
+        so.SampleImageSpec(so.ImageSource.OUTPUT, 1, so.ImageType.ALPHA),
+        so.SampleImageSpec(so.ImageSource.OUTPUT, 2, so.ImageType.GRID_CHANGE),
+        so.SampleImageSpec(so.ImageSource.OUTPUT, 3, so.ImageType.SIGMOID_LOGIT),
+    ]
+    ours_path = str(tmp_path / "ours.png")
+    so.save_sample_output_image(batch, outputs, specs, ours_path, cell_size=hw)
+
+    def to_torch(a):
+        return torch.from_numpy(np.transpose(a, (0, 3, 1, 2)))
+
+    ref_specs = [
+        RefSpec(RefSource[s.image_source.name], s.index, RefType[s.image_type.name])
+        for s in specs
+    ]
+    saver = SampleImageSaver(
+        image_size=hw, cell_size=hw, image_channels=4, sample_image_specs=ref_specs
+    )
+    ref_path = str(tmp_path / "ref.png")
+    saver.save_sample_output_image(
+        [to_torch(b) for b in batch], [to_torch(o) for o in outputs], ref_path
+    )
+
+    import PIL.Image
+
+    ours = np.asarray(PIL.Image.open(ours_path)).astype(np.int16)
+    ref = np.asarray(PIL.Image.open(ref_path)).astype(np.int16)
+    assert ours.shape == ref.shape == (n * hw, len(specs) * hw, 4)
+    for col, spec in enumerate(specs):
+        o = ours[:, col * hw : (col + 1) * hw]
+        r = ref[:, col * hw : (col + 1) * hw]
+        if spec.image_type == so.ImageType.GRID_CHANGE:
+            # The reference renders the flow wheel through matplotlib's
+            # 'hsv' colormap, which is a smoothed 256-entry approximation of
+            # the hue wheel (deviates up to 0.094 in linear rgb from the
+            # exact formula we use); after the x3 scale + sRGB encode that
+            # is up to ~90 uint8 levels at dark pixels.  Visualization-only.
+            assert np.abs(o - r).max() <= 90, spec
+            assert np.abs(o - r).mean() <= 6, spec
+        else:
+            assert np.abs(o - r).max() == 0, spec

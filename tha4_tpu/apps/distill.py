@@ -31,6 +31,22 @@ def main(argv=None) -> int:
         "character models; training cost is identical.",
     )
     parser.add_argument(
+        "--face-examples",
+        type=int,
+        default=None,
+        help="override the face student's total training examples "
+        "(default: the reference's 1,000,000). Must be a multiple of the "
+        "100k checkpoint cadence. Useful for bounded throughput runs.",
+    )
+    parser.add_argument(
+        "--body-examples",
+        type=int,
+        default=None,
+        help="override the body student's total training examples "
+        "(default: the reference's 1,500,000). Must be a multiple of the "
+        "100k checkpoint cadence.",
+    )
+    parser.add_argument(
         "--teacher-int8",
         action="store_true",
         help="run the frozen teacher with int8 convolutions (post-training "
@@ -63,6 +79,17 @@ def main(argv=None) -> int:
         )
     if args.teacher_int8:
         kwargs["teacher_int8"] = True
+    from tha4_tpu.distiller import recipes
+
+    for name, value in (("face", args.face_examples), ("body", args.body_examples)):
+        if value is None:
+            continue
+        if value <= 0 or value % recipes.EXAMPLES_PER_CHECKPOINT != 0:
+            parser.error(
+                f"--{name}-examples must be a positive multiple of "
+                f"{recipes.EXAMPLES_PER_CHECKPOINT}"
+            )
+        kwargs[f"{name}_total_examples"] = value
     run_config(config, compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32, **kwargs)
     return 0
 

@@ -44,6 +44,13 @@ def enable_persistent_cache() -> bool:
         # compiles are cheap anyway; keep it, but cache regardless of size.
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
+        # Keep state and return value consistent: if the second update
+        # raised after the first succeeded, undo the cache-dir setting.
+        try:
+            import jax
+            jax.config.update("jax_compilation_cache_dir", None)
+        except Exception:
+            pass
         return False
     _enabled = True
     return True
