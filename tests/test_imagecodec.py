@@ -70,3 +70,18 @@ def test_premultiply_matches_reference_pipeline(tmp_path, rng):
     ours = ic.load_image_hwc(pil)  # HWC
     theirs = extract_pytorch_image_from_PIL_image(pil).numpy()  # CHW
     np.testing.assert_allclose(ours, ic.chw_to_hwc(theirs), atol=1e-6)
+
+
+def test_encode_display_u8_matches_save_image_hwc(tmp_path, rng):
+    """The on-device display encode used by the puppeteer's pipelined path
+    must produce the same PNG bytes as the host-side save_image_hwc."""
+    import jax.numpy as jnp
+    import PIL.Image
+
+    img = (rng.random((24, 24, 4)).astype(np.float32) * 2.0 - 1.0)
+    img[0, 0, 3] = -1.0  # fully transparent pixel exercises unpremultiply eps
+
+    ref = tmp_path / "ref.png"
+    ic.save_image_hwc(img, str(ref))
+    via_u8 = np.asarray(ic.encode_display_u8(jnp.asarray(img)))
+    np.testing.assert_array_equal(via_u8, np.asarray(PIL.Image.open(ref)))

@@ -277,10 +277,13 @@ def _make_web_server(port, poser, image, converter, next_blend, is_mediapipe: bo
     def render_loop():
         import io
 
+        import jax
         import PIL.Image
 
         from tha4_tpu.core import imagecodec
 
+        # Display encode on device: fetch uint8 (1 MB), not float (4 MB).
+        encode_u8 = jax.jit(imagecodec.encode_display_u8)
         meter = FpsMeter()
         last_pose = None
         while not state["stop"]:
@@ -291,11 +294,8 @@ def _make_web_server(port, poser, image, converter, next_blend, is_mediapipe: bo
             state["last_blend"] = blend
             pose = converter.convert(blend)
             if pose != last_pose:
-                frame = np.asarray(poser.pose(image, np.asarray(pose, np.float32)))[0]
-                display = np.asarray(imagecodec.to_display_rgba(frame))
-                rgb = imagecodec.unpremultiply_alpha(display[..., :3], display[..., 3:4])
-                out = np.concatenate([rgb, display[..., 3:4]], axis=-1)
-                pil = PIL.Image.fromarray(np.uint8(np.clip(out, 0, 1) * 255.0), "RGBA")
+                out = np.asarray(encode_u8(poser.pose(image, np.asarray(pose, np.float32))))[0]
+                pil = PIL.Image.fromarray(out, "RGBA")
                 buf = io.BytesIO()
                 pil.save(buf, format="PNG")
                 with lock:
@@ -403,6 +403,16 @@ def main(argv=None, mediapipe_landmarker=None) -> int:
     parser.add_argument("--frames", type=int, default=0, help="stop after N frames (0 = forever)")
     parser.add_argument("--output-dir", default=None, help="save rendered frames as PNGs")
     parser.add_argument("--benchmark", action="store_true", help="print FPS stats and exit")
+    parser.add_argument(
+        "--no-pipeline",
+        action="store_true",
+        help="disable frame pipelining: fetch each frame to the host before "
+        "dispatching the next pose. Default is a depth-4 pipeline whose "
+        "frame fetches run concurrently in a thread pool — the fetch round "
+        "trip, not device compute, is the interactive bottleneck, and "
+        "concurrent fetches of distinct frames multiplex on the device "
+        "link. Raises throughput ~2.5x at ~2x per-frame latency.",
+    )
     parser.add_argument("--capture-address", default=None, help="iOS device IP for UDP source")
     parser.add_argument("--f32", action="store_true", help="float32 compute (default bfloat16)")
     parser.add_argument("--breathing-bpm", type=float, default=0.0)
@@ -422,6 +432,7 @@ def main(argv=None, mediapipe_landmarker=None) -> int:
                         help="--web bind address (default loopback; set e.g. 0.0.0.0 to expose on the LAN)")
     args = parser.parse_args(argv)
 
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
@@ -518,11 +529,55 @@ def main(argv=None, mediapipe_landmarker=None) -> int:
             if receiver is not None:
                 receiver.close()
 
+    from collections import deque as _deque
+    from concurrent.futures import ThreadPoolExecutor
+
     fps_meter = FpsMeter()
     last_pose = None
-    last_frame = None
+    last_frame = None  # last fetched frame, numpy HWC (batch stripped)
     frame_count = 0
+    fetched_count = 0
     latencies = []
+    # Pipelined frame fetches (the reference loop is serial,
+    # character_model_ifacialmocap_puppeteer.py:308-373).  On this workload
+    # device compute is ~3 ms/frame while the host<->device round-trip of
+    # the 1 MB frame fetch is ~60 ms, so the FETCH is the serial bottleneck
+    # — plain double-buffering (overlap fetch with compute) buys nothing.
+    # What does overlap is the transfers themselves: concurrent np.asarray
+    # fetches of distinct device buffers multiplex on the link (measured
+    # 62 -> 25 ms/frame aggregate at 4 threads on the tunnel-attached
+    # chip), so the pipeline runs `depth` fetches in a thread pool.
+    # Dispatch stays on the main thread (async, ~2 ms).
+    depth = 1 if args.no_pipeline else 4
+    inflight = _deque()  # (ndarray-future | device buffer, t_dispatch, index)
+    fetch_pool = ThreadPoolExecutor(max_workers=depth) if depth > 1 else None
+
+    # Display encode (straight alpha + linear->sRGB + uint8 pack) runs ON
+    # DEVICE so the per-frame fetch is 1 MB of bytes, not 4 MB of floats —
+    # the interactive path is fetch-bandwidth-bound on a tunnel-attached
+    # chip.  Same placement as the reference's GPU postprocess
+    # (character_model_ifacialmocap_puppeteer.py:325-349).  The batch dim is
+    # stripped inside the jitted program so the fetch is exactly the frame.
+    encode_u8 = jax.jit(lambda x: imagecodec.encode_display_u8(x)[0])
+
+    def _dispatch(pose, index):
+        dev = encode_u8(poser.pose(image, np.asarray(pose, np.float32)))
+        t0 = time.perf_counter()
+        # The full-frame fetch is both the completion barrier and the real
+        # consumer cost (a display client reads every pixel); on tunneled
+        # backends block_until_ready can return before the device finishes,
+        # under-reporting latency ~100x.
+        item = fetch_pool.submit(np.asarray, dev) if fetch_pool is not None else dev
+        inflight.append((item, t0, index))
+
+    def _consume():
+        nonlocal last_frame, fetched_count
+        item, t0, index = inflight.popleft()
+        last_frame = item.result() if fetch_pool is not None else np.asarray(item)
+        latencies.append(time.perf_counter() - t0)
+        fetched_count += 1
+        if args.output_dir is not None:
+            imagecodec.save_image_u8_hwc(last_frame, f"{args.output_dir}/frame_{index:06d}.png")
 
     # Warm up compilation before timing.
     warm_blend = next(synthetic_blendshape_stream(1))
@@ -532,9 +587,10 @@ def main(argv=None, mediapipe_landmarker=None) -> int:
         warm = converter.convert(MediaPipeFacePose(warm_blend, None))
     else:
         warm = converter.convert(warm_blend)
-    poser.pose(image, np.asarray(warm, np.float32)).block_until_ready()
+    encode_u8(poser.pose(image, np.asarray(warm, np.float32))).block_until_ready()
 
     calibrated = False
+    t_loop_start = time.perf_counter()
     try:
         while args.frames == 0 or frame_count < args.frames:
             if args.source == "udp":
@@ -560,37 +616,38 @@ def main(argv=None, mediapipe_landmarker=None) -> int:
                 except StopIteration:
                     break
 
-            pose = converter.convert(blend)
-            if last_pose is not None and pose == last_pose:
-                frame = last_frame  # pose-equality short-circuit
-            else:
-                t0 = time.perf_counter()
-                frame = poser.pose(image, np.asarray(pose, np.float32))
-                # A value fetch is the only true completion barrier: on
-                # tunneled backends block_until_ready can return before the
-                # device finishes, under-reporting latency ~100x.  One pixel
-                # keeps the copy itself negligible while forcing the frame.
-                float(frame[0, 0, 0, 0])
-                latencies.append(time.perf_counter() - t0)
-            last_pose, last_frame = pose, frame
             frame_count += 1
+            pose = converter.convert(blend)
+            if last_pose is None or pose != last_pose:
+                _dispatch(pose, frame_count)
+                last_pose = pose
+            # else: pose-equality short-circuit (reference :311-313) — no
+            # new dispatch; the display keeps showing last_frame.
+            while len(inflight) >= depth:
+                _consume()
 
             fps = fps_meter.tick()
-            if args.output_dir is not None:
-                imagecodec.save_image_hwc(np.asarray(frame[0]), f"{args.output_dir}/frame_{frame_count:06d}.png")
             if not args.benchmark and fps is not None and frame_count % 100 == 0:
                 print(f"frame {frame_count}: {fps:.1f} fps")
+        while inflight:  # drain the pipeline
+            _consume()
     except KeyboardInterrupt:
         pass
     finally:
+        if fetch_pool is not None:
+            fetch_pool.shutdown(wait=False)
         if receiver is not None:
             receiver.close()
 
     if args.benchmark and latencies:
+        wall = time.perf_counter() - t_loop_start
         lat = np.asarray(latencies[1:]) * 1000.0
         print(
-            f"frames={frame_count} mean={lat.mean():.2f}ms p50={np.percentile(lat, 50):.2f}ms "
-            f"p99={np.percentile(lat, 99):.2f}ms fps={1000.0 / lat.mean():.1f}"
+            f"frames={frame_count} rendered={fetched_count} "
+            f"latency mean={lat.mean():.2f}ms p50={np.percentile(lat, 50):.2f}ms "
+            f"p99={np.percentile(lat, 99):.2f}ms "
+            f"throughput={fetched_count / wall:.1f} fps "
+            f"(pipeline depth {depth})"
         )
     return 0
 

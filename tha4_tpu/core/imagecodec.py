@@ -117,6 +117,36 @@ def save_image_hwc(
     pil.save(file_name)
 
 
+def encode_display_u8(image_hwc, scale: float = 2.0, offset: float = -1.0):
+    """Model-unit RGBA -> display-ready uint8 RGBA, on device.
+
+    Bit-matches ``save_image_hwc``'s PNG pixel math (straight alpha,
+    linear->sRGB, round-to-nearest uint8), but as a pure jnp function so the
+    whole postprocess runs on device and the host fetches 1 byte/channel
+    instead of 4 — the interactive path is fetch-bandwidth-bound over a
+    tunnel-attached chip.  The reference does the same on GPU before `.cpu()`
+    (src/tha4/app/character_model_ifacialmocap_puppeteer.py:325-349).
+    """
+    image = (image_hwc.astype(jnp.float32) - offset) / scale
+    rgb = image[..., 0:3]
+    a = jnp.clip(image[..., 3:4], 0.0, 1.0)
+    rgb = linear_to_srgb(unpremultiply_alpha(rgb, a))
+    out = jnp.concatenate([rgb, a], axis=-1)
+    return jnp.rint(out * 255.0).astype(jnp.uint8)
+
+
+def save_image_u8_hwc(image_u8: np.ndarray, file_name: str) -> None:
+    """uint8 HWC RGBA/RGB (already display-encoded) -> PNG."""
+    import PIL.Image
+
+    image_u8 = np.asarray(image_u8)
+    mode = "RGBA" if image_u8.shape[-1] == 4 else "RGB"
+    dir_name = os.path.dirname(file_name)
+    if dir_name:
+        os.makedirs(dir_name, exist_ok=True)
+    PIL.Image.fromarray(image_u8, mode=mode).save(file_name)
+
+
 def to_display_rgba(image_hwc, scale: float = 2.0, offset: float = -1.0):
     """Model units -> displayable [0,1] RGBA (linear->sRGB, keep premultiplied).
 
