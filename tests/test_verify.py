@@ -109,7 +109,8 @@ def test_verify_all_checks_pass(standin_data_dir, capsys):
 
     data_dir, cfg = standin_data_dir
     rc = verify.main(
-        ["--data-dir", str(data_dir), "--poses", "2", "--examples", "64"],
+        ["--data-dir", str(data_dir), "--poses", "2", "--examples", "64",
+         "--int8-cal-poses", "2"],
         teacher_cfg=cfg,
     )
     out = capsys.readouterr().out
@@ -118,6 +119,9 @@ def test_verify_all_checks_pass(standin_data_dir, capsys):
     assert rc == 0, checks
     assert checks["teacher weight conversion"]["status"] == "ok"
     assert checks["golden render (mode_07 vs torch reference)"]["status"] == "ok"
+    assert checks["int8 teacher fidelity"]["status"] == "ok"
+    assert checks["int8 teacher fidelity"]["recommend"] in ("on", "off")
+    assert checks["int8 teacher fidelity"]["convs_quantized"] > 0
     assert checks["pose dataset"]["status"] == "ok"
     assert checks["pose dataset"]["rows"] == 64
     assert checks["distill smoke (loss decrease)"]["status"] == "ok"

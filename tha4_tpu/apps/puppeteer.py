@@ -414,7 +414,15 @@ def main(argv=None, mediapipe_landmarker=None) -> int:
         "link. Raises throughput ~2.5x at ~2x per-frame latency.",
     )
     parser.add_argument("--capture-address", default=None, help="iOS device IP for UDP source")
-    parser.add_argument("--f32", action="store_true", help="float32 compute (default bfloat16)")
+    parser.add_argument(
+        "--dtype", choices=("f32", "bf16", "exact"), default="f32",
+        help="compute path (tools/precision_sweep.py measured ladder): "
+        "f32 = float32 storage with 1-pass MXU matmuls — visually lossless "
+        "(66 dB PSNR / SSIM 1.0000 vs the exact render) at ~85%% of bf16's "
+        "fps [default]; bf16 = fastest (31.9 dB / SSIM 0.976); "
+        "exact = float32 storage + 6-pass matmuls, bit-faithful parity path",
+    )
+    parser.add_argument("--f32", action="store_true", help=argparse.SUPPRESS)  # legacy alias of --dtype exact
     parser.add_argument("--breathing-bpm", type=float, default=0.0)
     parser.add_argument("--calibration", default=None,
                         help="calibration JSON (mocap.calibration format) for the pose converter")
@@ -459,7 +467,13 @@ def main(argv=None, mediapipe_landmarker=None) -> int:
     )
 
     model = CharacterModel.load(args.model)
-    poser = model.get_poser(compute_dtype=jnp.float32 if args.f32 else jnp.bfloat16)
+    dtype_mode = "exact" if args.f32 else args.dtype
+    poser = model.get_poser(
+        compute_dtype=jnp.bfloat16 if dtype_mode == "bf16" else jnp.float32,
+        # f32 storage + the MXU's native 1-pass multiply: visually lossless
+        # and nearly bf16-fast ("exact" leaves the poser's 6-pass default).
+        matmul_precision="default" if dtype_mode == "f32" else None,
+    )
     image = jnp.asarray(model.get_character_image())
 
     if args.calibration is not None:

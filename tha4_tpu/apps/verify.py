@@ -12,6 +12,9 @@ src/tha4/poser/modes/mode_07.py:272-315):
   2. mode_07 golden render — our jitted teacher DAG vs the original PyTorch
      implementation built from the SAME .pt files, PSNR floor on every
      user-facing output
+  2b. int8 teacher fidelity — calibrate the opt-in int8 teacher on these
+     weights, PSNR the exact distillation label tensors vs the full-precision
+     teacher, and recommend --teacher-int8 on/off (threshold --int8-floor)
   3. pose dataset — data/pose_dataset.pt loads (else the procedural
      fallback is reported)
   4. distill smoke — a ~1k-example face distillation from the real teacher,
@@ -200,6 +203,12 @@ def main(argv=None, teacher_cfg=None) -> int:
     parser.add_argument("--work-dir", default=None,
                         help="distill smoke working directory (default: a temp dir)")
     parser.add_argument("--skip-distill", action="store_true")
+    parser.add_argument("--skip-int8", action="store_true",
+                        help="skip the int8 teacher-label fidelity check")
+    parser.add_argument("--int8-floor", type=float, default=40.0,
+                        help="PSNR (dB) above which --teacher-int8 is recommended for distillation")
+    parser.add_argument("--int8-cal-poses", type=int, default=8,
+                        help="calibration poses for the int8 check (one batched forward)")
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -275,6 +284,61 @@ def main(argv=None, teacher_cfg=None) -> int:
         report("golden render (mode_07 vs torch reference)", status,
                psnr_min=round(worst, 2), floor=args.psnr_floor,
                lpips_proxy_mean=round(float(np.mean(proxies)), 6), poses=len(poses))
+
+    # ---- 2b. int8 teacher label fidelity -----------------------------------
+    # The opt-in ``tha4-distill --teacher-int8`` path (docs/perf.md) trades
+    # teacher-label precision for step time.  Until now its fidelity number
+    # existed only for random weights; this check measures it on THE weights
+    # being verified and recommends on/off against --int8-floor, so the day
+    # real weights arrive there is a one-command accept/reject.
+    if args.skip_int8:
+        report("int8 teacher fidelity", "skip", reason="--skip-int8")
+    elif not os.path.isfile(char_image):
+        report("int8 teacher fidelity", "missing", path=char_image)
+    else:
+        import jax
+        import jax.numpy as jnp
+
+        from tha4_tpu.core import imagecodec
+        from tha4_tpu.ops import quant
+        from tha4_tpu.utils import fidelity
+
+        image = jnp.asarray(imagecodec.load_image_hwc(char_image))[None]
+        ncal = args.int8_cal_poses
+        cal_poses = jnp.asarray(fidelity.random_pose_suite(ncal, seed=0xCA11B))
+        image_b = jnp.broadcast_to(image, (ncal,) + image.shape[1:])
+
+        def teacher_fn(tp, i, p):
+            return mode_07.compute_outputs(cfg, tp, i, p)
+
+        scales = quant.run_calibration(teacher_fn, params, image_b, cal_poses)
+
+        from functools import partial
+
+        @partial(jax.jit, static_argnums=3)
+        def labels(tp, i, p, use_int8):
+            # The exact tensors distillation consumes: body labels
+            # (posed 0, warped 2, grid_change 3, student input 5 =
+            # face_morphed_full; recipes.make_body_distill_chunk) — the face
+            # label (mode_12 output 0) is outputs[5]'s face crop, covered by 5.
+            with quant.apply_scales(scales if use_int8 else None):
+                t = mode_07.compute_outputs(cfg, tp, i, p)
+            return t[0], t[2], t[3], t[5]
+
+        eval_poses = fidelity.random_pose_suite(args.poses, seed=0x1E8)
+        worst = float("inf")
+        grid_l1 = 0.0
+        for pose in eval_poses:
+            p1 = jnp.asarray(pose)[None]
+            ref = labels(params, image, p1, False)
+            q = labels(params, image, p1, True)
+            for i in (0, 1, 3):  # image-like labels -> PSNR
+                worst = min(worst, fidelity.psnr(np.asarray(ref[i]), np.asarray(q[i])))
+            grid_l1 = max(grid_l1, float(jnp.mean(jnp.abs(ref[2] - q[2]))))
+        recommend = "on" if worst >= args.int8_floor else "off"
+        report("int8 teacher fidelity", "ok",
+               psnr_min=round(worst, 2), grid_change_l1_max=round(grid_l1, 6),
+               floor=args.int8_floor, convs_quantized=len(scales), recommend=recommend)
 
     # ---- 3. pose dataset --------------------------------------------------
     pose_file = os.path.join(args.data_dir, "pose_dataset.pt")

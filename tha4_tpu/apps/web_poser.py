@@ -195,12 +195,19 @@ def main(argv=None) -> int:
     parser.add_argument("--teacher", action="store_true", help="use the five-network teacher")
     parser.add_argument("--input", default=None, help="512x512 RGBA image (teacher mode)")
     parser.add_argument("--port", type=int, default=8765)
-    parser.add_argument("--bf16", action="store_true")
+    parser.add_argument(
+        "--dtype", choices=("f32", "bf16", "exact"), default="f32",
+        help="compute path (tools/precision_sweep.py ladder): f32 = float32 "
+        "storage, 1-pass MXU — visually lossless, near-bf16 speed [default]; "
+        "bf16 = fastest; exact = 6-pass f32 parity path")
+    parser.add_argument("--bf16", action="store_true", help=argparse.SUPPRESS)  # legacy alias
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
 
-    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    mode = "bf16" if args.bf16 else args.dtype
+    dtype = jnp.bfloat16 if mode == "bf16" else jnp.float32
+    precision = "default" if mode == "f32" else None
 
     if args.teacher:
         if not args.input:
@@ -208,7 +215,7 @@ def main(argv=None) -> int:
         from tha4_tpu.core import imagecodec
         from tha4_tpu.poser.modes import mode_07
 
-        poser = mode_07.create_poser(compute_dtype=dtype)
+        poser = mode_07.create_poser(compute_dtype=dtype, matmul_precision=precision)
         image = imagecodec.load_image_hwc(args.input)
     else:
         if not args.model:
@@ -216,7 +223,7 @@ def main(argv=None) -> int:
         from tha4_tpu.charmodel import CharacterModel
 
         model = CharacterModel.load(args.model)
-        poser = model.get_poser(compute_dtype=dtype)
+        poser = model.get_poser(compute_dtype=dtype, matmul_precision=precision)
         image = model.get_character_image()
 
     state = _PoserState(poser, image, poser.pose_parameters)

@@ -293,8 +293,15 @@ def make_body_distill_chunk(
     mesh=None,
     lookahead: int = 1,
     teacher_quant=None,
+    teacher_dtype=None,
 ):
     """Body-student analogue of make_face_distill_chunk.
+
+    ``teacher_dtype`` (default: ``compute_dtype``) sets the FROZEN teacher's
+    activation dtype independently of the student's: the teacher is pure
+    label generation (like ``teacher_quant``), while the student's dtype is
+    a gradient-precision choice — tools/dtype_ab.py measures the two
+    separately.
 
     ``lookahead`` = K batches the teacher in groups of K steps: the teacher is
     FROZEN, so the labels for the next K optimization steps can be computed in
@@ -308,11 +315,13 @@ def make_body_distill_chunk(
     K*B x 512^2 x 14ch bf16 = 59 MB/chip at K=B=8 over 8 chips.
     """
 
+    t_dtype = teacher_dtype or compute_dtype
+
     def teacher_targets(teacher_params, image, poses):
         n = poses.shape[0]
-        image_b = jnp.broadcast_to(image.astype(compute_dtype), (n,) + image.shape[1:])
+        image_b = jnp.broadcast_to(image.astype(t_dtype), (n,) + image.shape[1:])
         with quant.apply_scales(teacher_quant):
-            t = mode_07.compute_outputs(teacher_cfg, teacher_params, image_b, poses.astype(compute_dtype))
+            t = mode_07.compute_outputs(teacher_cfg, teacher_params, image_b, poses.astype(t_dtype))
         # Stash stays in compute dtype (the loss casts to f32 at use, exactly
         # as the unstashed path did on the already-compute-dtype outputs).
         return tuple(
@@ -324,7 +333,9 @@ def make_body_distill_chunk(
         gt_posed = gt_posed_c.astype(jnp.float32)
         gt_warped = gt_warped_c.astype(jnp.float32)
         gt_grid = gt_grid_c.astype(jnp.float32)
-        outs = siren.siren_morpher_apply_nhwc(student_cfg, params, student_input, poses.astype(compute_dtype))
+        outs = siren.siren_morpher_apply_nhwc(
+            student_cfg, params, student_input.astype(compute_dtype),
+            poses.astype(compute_dtype))
         pred_blended = outs[siren.SIREN_MORPHER_INDEX_BLENDED_IMAGE].astype(jnp.float32)
         pred_warped = outs[siren.SIREN_MORPHER_INDEX_WARPED_IMAGE].astype(jnp.float32)
         pred_grid = outs[siren.SIREN_MORPHER_INDEX_GRID_CHANGE].astype(jnp.float32)

@@ -40,6 +40,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tha4_tpu.ops.pallas_util import kernel_dot_precision
+
 
 def to_w9(w_hwio: jnp.ndarray, dtype=None) -> jnp.ndarray:
     """HWIO (3,3,Cin,Cout) -> (Cout, 9*Cin), k-major: rows of the im2col
@@ -131,6 +133,7 @@ def _kernel(
     acc = jax.lax.dot_general(
         w9_ref[:].astype(imcol.dtype), imcol,
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=kernel_dot_precision(imcol.dtype),
     )  # (co, th, w)
     acc = acc + b_ref[:].reshape(co, 1, 1)
 
@@ -139,6 +142,7 @@ def _kernel(
             sk = jax.lax.dot_general(
                 skipw_ref[:].astype(skip_ref.dtype), skip_ref[0],
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                precision=kernel_dot_precision(skip_ref.dtype),
             )
             acc = acc + sk
         else:

@@ -45,6 +45,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tha4_tpu.ops.pallas_util import kernel_dot_precision
+
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
@@ -99,6 +101,7 @@ def _kernel(*refs, has_affine, has_skip, skip_is_conv, th, wq, wqm, fc, fco):
             acc = acc + jax.lax.dot_general(
                 a, wtap.astype(a.dtype),
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                precision=kernel_dot_precision(a.dtype),
             )
 
     if has_skip:
@@ -107,6 +110,7 @@ def _kernel(*refs, has_affine, has_skip, skip_is_conv, th, wq, wqm, fc, fco):
             acc = acc + jax.lax.dot_general(
                 xs, skw_ref[:].astype(xs.dtype),
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                precision=kernel_dot_precision(xs.dtype),
             )
         else:
             acc = acc + xs.astype(jnp.float32)

@@ -35,6 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tha4_tpu.ops.pallas_util import kernel_dot_precision
+
 # Mosaic's default scoped-VMEM limit is 16 MB; a v5e core has 128 MB of VMEM.
 # The backward kernel's recompute stash legitimately wants more than 16 MB at
 # useful tile sizes, so raise the limit and budget tiles against it below.
@@ -180,6 +182,7 @@ def _make_kernel(specs, num_sine, omega, has_prev, n, tile, compute_dtype):
                 acc = jax.lax.dot_general(
                     w.astype(compute_dtype), h[: spec.ci].astype(compute_dtype),
                     (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                    precision=kernel_dot_precision(compute_dtype),
                 ) + b
                 if li < num_sine:
                     h = _fast_sin(omega * acc).astype(compute_dtype)
@@ -349,6 +352,7 @@ def _make_bwd_kernel(specs, num_sine, omega, has_prev, cp, pose_dim, n, tile, co
                 a = jax.lax.dot_general(
                     w.astype(compute_dtype), hs[-1][: spec.ci].astype(compute_dtype),
                     (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                    precision=kernel_dot_precision(compute_dtype),
                 ) + b
                 if li < num_sine:
                     pre_acts.append(a)
@@ -377,7 +381,8 @@ def _make_bwd_kernel(specs, num_sine, omega, has_prev, cp, pose_dim, n, tile, co
                 h_in = hs[li][: spec.ci].astype(compute_dtype)
                 # dW[co, ci] += sum_t g_a[co, t] * h_in[ci, t]
                 dw = jax.lax.dot_general(
-                    g_a.astype(compute_dtype), h_in, dn_t, preferred_element_type=jnp.float32
+                    g_a.astype(compute_dtype), h_in, dn_t, preferred_element_type=jnp.float32,
+                    precision=kernel_dot_precision(compute_dtype),
                 )
                 dw_ref[pl.ds(spec.row_off, co_pad), : spec.ci] += jnp.pad(
                     dw, ((0, co_pad - spec.co), (0, 0))
@@ -390,6 +395,7 @@ def _make_bwd_kernel(specs, num_sine, omega, has_prev, cp, pose_dim, n, tile, co
                 g = jax.lax.dot_general(
                     w[: spec.co].astype(compute_dtype), g_a.astype(compute_dtype),
                     dn_rows, preferred_element_type=jnp.float32,
+                    precision=kernel_dot_precision(compute_dtype),
                 )
 
             off = 0

@@ -48,6 +48,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tha4_tpu.ops.pallas_util import kernel_dot_precision
+
 TILE_H = 8
 
 # Mosaic's default scoped-VMEM limit is 16 MB (a v5e core has 128 MB).  The
@@ -141,6 +143,7 @@ def _fwd_kernel(gx_ref, gy_ref, img_ref, out_ref, *, h, w, w_mem, kh, kw, th, tw
         v = jax.lax.dot_general(
             ohv, win, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=kernel_dot_precision(jnp.float32),
         ).reshape(th, tw, kw)
         out_ref[0, ch] = jnp.sum(v * ohh, axis=-1).astype(out_ref.dtype)
 
@@ -174,8 +177,11 @@ def _fwd_corners_kernel(gx_ref, gy_ref, img_ref, out_ref, dx_ref, dy_ref, *, h, 
     dn = (((1,), (0,)), ((), ()))
     for ch in range(c):
         win = img_ref[0, ch, pl.ds(by, kh), pl.ds(bx, kw)].astype(wdt)
-        r0 = jax.lax.dot_general(oh0, win, dn, preferred_element_type=jnp.float32).reshape(th, tw, kw)
-        r1 = jax.lax.dot_general(oh1, win, dn, preferred_element_type=jnp.float32).reshape(th, tw, kw)
+        prec = kernel_dot_precision(wdt)
+        r0 = jax.lax.dot_general(oh0, win, dn, preferred_element_type=jnp.float32,
+                                 precision=prec).reshape(th, tw, kw)
+        r1 = jax.lax.dot_general(oh1, win, dn, preferred_element_type=jnp.float32,
+                                 precision=prec).reshape(th, tw, kw)
         v00 = jnp.sum(r0 * m0, axis=-1)
         v01 = jnp.sum(r0 * m1, axis=-1)
         v10 = jnp.sum(r1 * m0, axis=-1)

@@ -27,6 +27,7 @@ class GeneralPoser(Poser):
         run_fn: Callable,  # (params, image_nhwc_f32, pose_f32) -> tuple of outputs
         default_output_index: int = 0,
         compute_dtype=jnp.float32,
+        matmul_precision: Optional[str] = None,
     ):
         self.image_size = image_size
         self.output_length = output_length
@@ -37,10 +38,13 @@ class GeneralPoser(Poser):
         self.pose_parameters = get_pose_parameters()
 
         dtype = compute_dtype
-        # TPU f32 matmuls default to bf16 passes; for the f32 (parity) path
-        # force true float32 so outputs match the CPU/torch reference
-        # (~32 dB -> >60 dB PSNR). bf16 compute is the fast path.
-        precision = "highest" if dtype == jnp.float32 else "default"
+        # TPU f32 matmuls default to bf16 passes; unless the caller picks a
+        # tier, the f32 (parity) path forces true float32 so outputs match
+        # the CPU/torch reference (~32 dB -> >60 dB PSNR). bf16 compute is
+        # the fast path; f32 + explicit 'default' is the measured middle of
+        # the ladder (visually lossless, near-bf16 speed —
+        # tools/precision_sweep.py).
+        precision = matmul_precision or ("highest" if dtype == jnp.float32 else "default")
 
         @jax.jit
         def _run(params, image, pose):

@@ -182,6 +182,7 @@ def create_poser(
     compute_dtype=jnp.float32,
     params: Optional[Dict] = None,
     cfg: Optional[TeacherConfig] = None,
+    matmul_precision: Optional[str] = None,
 ) -> GeneralPoser:
     """Reference create_poser (mode_07.py:272-315); params may be supplied
     directly (e.g. random init) instead of torch files."""
@@ -203,4 +204,5 @@ def create_poser(
         run_fn=lambda p, image, pose: compute_outputs(cfg, p, image, pose),
         default_output_index=default_output_index,
         compute_dtype=compute_dtype,
+        matmul_precision=matmul_precision,
     )

@@ -19,8 +19,13 @@ upgrading one source at a time:
                   while activations stay bf16 between layers)
   f32             full f32 (sanity: = golden)
 
-Run on any backend (CPU fine: bf16 rounding is bit-identical):
-  python tools/precision_sweep.py [--poses 8]
+The whole emulation runs under jax.default_matmul_precision("highest") so
+the explicit _q() casts are the ONLY quantization anywhere — without this,
+on TPU the plain f32 `@` runs as a 1-pass bf16 MXU multiply and every
+variant silently collapses to ~32 dB (the first run of this tool did
+exactly that; the f32-all sanity row now guards against it).
+
+Run:  python tools/precision_sweep.py [--poses 8]
 
 Output: PSNR / windowed-SSIM per variant vs the f32 golden render on
 output 0 (the blended 512x512 frame), shipped lambda_00 weights.
@@ -134,12 +139,15 @@ def _only(**kw):
 
 
 VARIANTS = [
+    ("f32-all", _ALL_ON),  # sanity: must be ~lossless vs golden
     ("bf16-all", _ALL_OFF),
     ("+pos-f32", _on(pos_f32=True)),
     ("+head-f32", _on(pos_f32=True, head_f32=True)),
+    ("+first-w-f32", _on(pos_f32=True, head_f32=True, first_w_f32=True)),
     ("+storage-f32", _on(pos_f32=True, head_f32=True, storage_f32=True)),
     ("only-storage", _only(storage_f32=True)),
     ("only-weights", _only(weights_f32=True, first_w_f32=True, head_f32=True)),
+    ("only-first-w", _only(first_w_f32=True)),
     ("only-pose", _only(pose_f32=True)),
     ("only-image", _only(image_f32=True)),
     ("only-pos", _only(pos_f32=True)),
@@ -173,21 +181,70 @@ def main():
     rows = []
     for name, flags in VARIANTS:
         v = dict(storage=jnp.bfloat16, **flags)
+
+        # One compiled program per variant (flags are trace-time constants).
+        # The "highest" context INSIDE the traced fn makes the explicit _q()
+        # casts the only quantization anywhere — without it, on TPU the
+        # plain f32 `@` runs as a 1-pass bf16 MXU multiply and every variant
+        # collapses to ~32 dB (the first run of this tool did exactly that).
+        @jax.jit
+        def render(params, image, pose, _v=v):
+            with jax.default_matmul_precision("highest"):
+                return render_variant(face_cfg, body_cfg, params, image, pose, _v)
+
         ps, ss = [], []
         for k, p in enumerate(poses):
-            frame = np.asarray(render_variant(face_cfg, body_cfg, params, image, jnp.asarray(p)[None], v))[0]
+            frame = np.asarray(render(params, image, jnp.asarray(p)[None]))[0]
             ps.append(fidelity.psnr(golden[k], frame))
             ss.append(fidelity.ssim(golden[k], frame))
         rows.append((name, min(ps), float(np.mean(ps)), min(ss)))
-        print(f"{name:14s} PSNR min {min(ps):6.2f} dB  mean {np.mean(ps):6.2f} dB  SSIM min {min(ss):.4f}")
+        print(f"{name:14s} PSNR min {min(ps):6.2f} dB  mean {np.mean(ps):6.2f} dB  SSIM min {min(ss):.4f}",
+              flush=True)
 
-    # Today's actual production path for cross-checking the emulation.
-    poser_bf16 = cm.get_poser(compute_dtype=jnp.bfloat16)
-    ps = [
-        fidelity.psnr(golden[k], np.asarray(poser_bf16.pose(image, p[None]))[0])
-        for k, p in enumerate(poses)
-    ]
-    print(f"{'prod-bf16':14s} PSNR min {min(ps):6.2f} dB  mean {np.mean(ps):6.2f} dB  (actual path)")
+    # ---- ACTUAL candidate production paths: (storage dtype, MXU tier) -----
+    # PSNR/SSIM vs the f32 golden + measured fps on this chip (scan-amortized
+    # animated pose sweep, same harness as bench.py).
+    import time
+
+    from tha4_tpu.poser.modes.pose_parameters import get_pose_parameters
+
+    pp = get_pose_parameters()
+    idx = {g.get_group_name(): g.get_parameter_index() for g in pp.get_pose_parameter_groups()}
+    print()
+    for dt_name, dt in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
+        for prec in ("default", "high", "highest"):
+            poser = cm.get_poser(compute_dtype=dt, matmul_precision=prec)
+            ps, ss = [], []
+            for k, p in enumerate(poses):
+                frame = np.asarray(poser.pose(image, jnp.asarray(p)[None]))[0]
+                ps.append(fidelity.psnr(golden[k], frame))
+                ss.append(fidelity.ssim(golden[k], frame))
+
+            fcfg2, bcfg2 = poser.face_cfg, poser.body_cfg
+            n = 200
+
+            @jax.jit
+            def frames(params, image_a, p0, _dt=dt, _prec=prec, _f=fcfg2, _b=bcfg2):
+                from tha4_tpu.poser.modes import mode_14 as m14
+
+                def body(c, i):
+                    pose = p0.at[0, idx["head_y"]].set(jnp.sin(i / 10.0)).astype(_dt)
+                    with jax.default_matmul_precision(_prec):
+                        outs = m14.compute_outputs(_f, _b, params, image_a.astype(_dt), pose)
+                    return c + outs[0].astype(jnp.float32).mean(), ()
+
+                c, _ = jax.lax.scan(body, 0.0, jnp.arange(n, dtype=jnp.float32))
+                return c
+
+            p0 = jnp.asarray(poses[0])[None]
+            float(frames(poser.params, image, p0))  # compile
+            t0 = time.perf_counter()
+            float(frames(poser.params, image, p0))
+            fps = n / (time.perf_counter() - t0)
+            tag = f"{dt_name}/{prec}"
+            sanity = "  (=golden)" if dt == jnp.float32 and prec == "highest" else ""
+            print(f"{tag:14s} PSNR min {min(ps):6.2f} dB  mean {np.mean(ps):6.2f} dB  "
+                  f"SSIM min {min(ss):.4f}  {fps:7.1f} fps{sanity}", flush=True)
 
 
 if __name__ == "__main__":
