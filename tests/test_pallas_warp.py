@@ -178,3 +178,67 @@ def test_trained_flows_fit_the_fast_kernel_budget():
     # Also the batch-8 training configuration.
     by8, bx8 = pallas_warp.displacement_budget_px((8, 512, 512, 4), (8, 512, 512, 2))
     assert dx_px <= bx8 and dy_px <= by8
+
+
+def _kernel_dot_precisions(jaxpr):
+    """Collect the `precision` of every dot_general inside pallas_call kernels
+    reachable from ``jaxpr`` (recursing through all sub-jaxprs)."""
+    from jax.extend import core as jcore
+
+    found = []
+
+    def walk(jx, inside_kernel):
+        for eqn in jx.eqns:
+            is_kernel = inside_kernel or eqn.primitive.name == "pallas_call"
+            if eqn.primitive.name == "dot_general" and inside_kernel:
+                found.append(eqn.params.get("precision"))
+            for v in eqn.params.values():
+                for sub in jax.tree_util.tree_leaves(
+                    v, is_leaf=lambda x: isinstance(x, (jcore.Jaxpr, jcore.ClosedJaxpr))
+                ):
+                    if isinstance(sub, jcore.ClosedJaxpr):
+                        walk(sub.jaxpr, is_kernel)
+                    elif isinstance(sub, jcore.Jaxpr):
+                        walk(sub, is_kernel)
+
+    walk(jaxpr, False)
+    return found
+
+
+def test_ambient_high_precision_never_reaches_kernel_dots():
+    """Regression for the round-4 Mosaic crash AND the round-4 perf regression.
+
+    (a) Mosaic only lowers DEFAULT and HIGHEST: tracing the warp under an
+        ambient ``jax.default_matmul_precision('high')`` must not leak the
+        (unloweable) HIGH tier into any kernel dot.
+    (b) The inference (primal-only) forward's folded one-hot dot must stay at
+        DEFAULT — pinning it to HIGHEST is a 6-pass f32 MXU emulation that
+        regressed end-to-end student fps 2.8x (BENCH_r03 331 -> BENCH_r04 117).
+    """
+    size = 256
+    key = jax.random.PRNGKey(0)
+    img = jax.random.normal(key, (1, size, size, 4), jnp.bfloat16)
+    grid = _smooth_grid(key, 1, size, size).astype(jnp.bfloat16)
+
+    with jax.default_matmul_precision("high"):
+        primal = jax.make_jaxpr(pallas_warp.grid_sample_fast)(img, grid)
+
+        def loss(g):
+            return pallas_warp.grid_sample_fast(img, g).astype(jnp.float32).sum()
+
+        diff = jax.make_jaxpr(jax.grad(loss))(grid)
+
+    ok = {jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST}
+    primal_precs = _kernel_dot_precisions(primal.jaxpr)
+    diff_precs = _kernel_dot_precisions(diff.jaxpr)
+    assert primal_precs, "expected at least one kernel dot in the primal trace"
+    assert diff_precs, "expected at least one kernel dot in the grad trace"
+    for prec in primal_precs + diff_precs:
+        assert prec is not None, "kernel dot inherited ambient precision (None)"
+        assert set(prec) <= ok, f"Mosaic-unloweable precision in kernel: {prec}"
+    # (b): the inference fwd kernel's folded dot is DEFAULT (1 MXU pass).
+    for prec in primal_precs:
+        assert set(prec) == {jax.lax.Precision.DEFAULT}, (
+            f"inference warp dot pinned to {prec}: this is the 6-pass f32 "
+            "emulation that regressed BENCH 331 -> 117 fps in round 4"
+        )

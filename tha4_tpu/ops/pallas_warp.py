@@ -129,8 +129,18 @@ def _fwd_kernel(gx_ref, gy_ref, img_ref, out_ref, *, h, w, w_mem, kh, kw, th, tw
     krow = jax.lax.broadcasted_iota(jnp.int32, (th, tw, kh), 2)
     kcol = jax.lax.broadcasted_iota(jnp.int32, (th, tw, kw), 2)
     # Folded one-hots: vertical carries the row lerp; horizontal the col lerp.
-    # f32 one-hots: bf16 lerp weights would quantize the interpolation to
-    # ~0.4% error; f32 MXU at half rate is still far from the bottleneck.
+    # The vertical dot runs at explicit DEFAULT precision: one MXU pass, with
+    # operands truncated to bf16.  This quantizes the folded lerp weight to a
+    # bf16 mantissa (<=0.4% weight error) and is the production inference
+    # semantics the 31.9 dB bf16 fidelity lock (tests/test_mode_14_parity.py)
+    # was measured under; HIGHEST here is a 6-pass f32 emulation that costs
+    # 2.8x end-to-end fps (331 -> 117, BENCH_r03 vs r04) for fidelity below
+    # the codec's quantization floor.  The precision is explicit (never None)
+    # so an ambient jax.default_matmul_precision('high') cannot leak a
+    # Mosaic-unloweable HIGH tier into the kernel — see
+    # kernel_dot_precision's docstring and test_pallas_warp's ambient-
+    # precision regression test.  An exact-corner alternative exists in
+    # _fwd_corners_kernel (used under differentiation).
     ohv = (
         jnp.where(krow == ly0[..., None], (1.0 - ty)[..., None], 0.0)
         + jnp.where(krow == ly1[..., None], ty[..., None], 0.0)
@@ -143,7 +153,7 @@ def _fwd_kernel(gx_ref, gy_ref, img_ref, out_ref, *, h, w, w_mem, kh, kw, th, tw
         v = jax.lax.dot_general(
             ohv, win, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=kernel_dot_precision(jnp.float32),
+            precision=jax.lax.Precision.DEFAULT,
         ).reshape(th, tw, kw)
         out_ref[0, ch] = jnp.sum(v * ohh, axis=-1).astype(out_ref.dtype)
 
