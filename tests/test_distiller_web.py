@@ -36,8 +36,21 @@ def web_editor():
         server.shutdown()
 
 
-def _post(url, payload):
+def _page_token(base):
+    """Extract the per-launch CSRF token from the served page, exactly as the
+    in-page JS receives it."""
+    page = urllib.request.urlopen(base + "/", timeout=10).read().decode()
+    marker = "const TOKEN = '"
+    start = page.index(marker) + len(marker)
+    return page[start : page.index("'", start)]
+
+
+def _post(url, payload, token=None, headers=None):
+    base = url.rsplit("/", 1)[0]
     req = urllib.request.Request(url, data=json.dumps(payload).encode(), method="POST")
+    req.add_header("X-Tha4-Token", token if token is not None else _page_token(base))
+    for k, v in (headers or {}).items():
+        req.add_header(k, v)
     return urllib.request.urlopen(req, timeout=10)
 
 
@@ -170,3 +183,89 @@ def test_train_runs_config_in_process(web_editor, tmp_path, monkeypatch):
             break
         time.sleep(0.1)
     assert state["done"] and state["error"] is None
+
+
+def test_post_without_token_rejected(web_editor, tmp_path):
+    """CSRF defense: a cross-origin 'simple' JSON POST (no custom header, no
+    token) must be rejected — loopback binding alone does not stop a
+    malicious page in the user's browser from driving /save or /train."""
+    base, _ = web_editor
+    values = {
+        "prefix": str(tmp_path / "evil"),
+        "character_image_file_name": CHARACTER,
+        "face_mask_image_file_name": MASK,
+    }
+    for endpoint in ("/save", "/train"):
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            _post(base + endpoint, values, token="")
+        assert exc_info.value.code == 403
+    assert not (tmp_path / "evil").exists()  # nothing written
+
+    # A stale/guessed token fails too.
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        _post(base + "/save", values, token="0" * 32)
+    assert exc_info.value.code == 403
+
+
+def test_cross_origin_post_rejected_even_with_token(web_editor, tmp_path):
+    base, _ = web_editor
+    values = {
+        "prefix": str(tmp_path / "evil2"),
+        "character_image_file_name": CHARACTER,
+        "face_mask_image_file_name": MASK,
+    }
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        _post(base + "/save", values, headers={"Origin": "http://evil.example"})
+    assert exc_info.value.code == 403
+    # Our own origin (matching Host) passes.
+    resp = _post(base + "/save", values, headers={"Origin": base})
+    assert resp.status == 200
+
+
+def test_meta_serializes_big_seeds_as_strings(web_editor, tmp_path):
+    """The 64-bit default seeds exceed JS Number precision (2^53); /meta must
+    send them as strings so saving an untouched form round-trips the exact
+    dataclass defaults instead of the browser's rounded doubles."""
+    from tha4_tpu.distiller.config import DistillerConfig
+
+    base, _ = web_editor
+    meta = json.loads(urllib.request.urlopen(base + "/meta", timeout=10).read())
+    by_name = {f["name"]: f for f in meta["fields"]}
+    default = DistillerConfig.__dataclass_fields__["face_morpher_random_seed_0"].default
+    assert default > 2**53  # the hazard this guards is real for the defaults
+    assert by_name["face_morpher_random_seed_0"]["value"] == str(default)
+    # Small ints stay numbers (the form shows them unquoted either way).
+    assert by_name["face_morpher_batch_size"]["value"] == 8
+
+    # Round-trip: save the meta values verbatim (an untouched form).
+    values = {f["name"]: f["value"] for f in meta["fields"]}
+    values.update({
+        "prefix": str(tmp_path / "rt"),
+        "character_image_file_name": CHARACTER,
+        "face_mask_image_file_name": MASK,
+    })
+    resp = _post(base + "/save", values)
+    with open(json.loads(resp.read())["path"]) as f:
+        conf = yaml.safe_load(f)
+    assert conf["face_morpher_random_seed_0"] == default
+
+
+def test_save_oserror_returns_json_500(web_editor, tmp_path, monkeypatch):
+    """An OSError from config.save (read-only prefix, disk full) must come
+    back as a parseable JSON error, not a dropped connection."""
+    from tha4_tpu.distiller.config import DistillerConfig
+
+    def boom(self, path):
+        raise OSError(28, "No space left on device")
+
+    monkeypatch.setattr(DistillerConfig, "save", boom)
+    base, _ = web_editor
+    values = {
+        "prefix": str(tmp_path / "full"),
+        "character_image_file_name": CHARACTER,
+        "face_mask_image_file_name": MASK,
+    }
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        _post(base + "/save", values)
+    assert exc_info.value.code == 500
+    assert "No space left" in json.loads(exc_info.value.read())["error"]

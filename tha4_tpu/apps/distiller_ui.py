@@ -52,6 +52,11 @@ _FORM_PAGE = """<!DOCTYPE html>
 <button onclick="run()">RUN</button>
 <div id="status"></div>
 <script>
+// Per-launch CSRF token, injected by the server into this page only: POSTs
+// carry it in a custom header (which also forces a CORS preflight that a
+// cross-origin page cannot pass), so a malicious web page visited while the
+// editor runs cannot drive /save or /train on the loopback server.
+const TOKEN = '%TOKEN%';
 let meta = null;
 async function init() {
   meta = await (await fetch('meta')).json();
@@ -99,14 +104,16 @@ function values() {
   return out;
 }
 async function save() {
-  const r = await fetch('save', {method: 'POST', body: JSON.stringify(values())});
+  const r = await fetch('save', {method: 'POST', body: JSON.stringify(values()),
+                                 headers: {'X-Tha4-Token': TOKEN}});
   const j = await r.json();
   const s = document.getElementById('status');
   s.className = r.ok ? 'ok' : 'err';
   s.textContent = r.ok ? ('saved ' + j.path) : ('error: ' + j.error);
 }
 async function run() {
-  const r = await fetch('train', {method: 'POST', body: JSON.stringify(values())});
+  const r = await fetch('train', {method: 'POST', body: JSON.stringify(values()),
+                                  headers: {'X-Tha4-Token': TOKEN}});
   const j = await r.json();
   const s = document.getElementById('status');
   s.className = r.ok ? 'ok' : 'err';
@@ -228,6 +235,12 @@ def _field_meta(config) -> dict:
             value = f.default
         else:
             value = ""
+        # 64-bit seeds exceed JS Number precision (2^53): send them as
+        # strings so an untouched form round-trips the exact default instead
+        # of the browser's rounded double (the server already int()s every
+        # integer field on the way back in).
+        if isinstance(value, int) and not isinstance(value, bool) and abs(value) > 2**53:
+            value = str(value)
         entry = {
             "name": f.name,
             "value": value,
@@ -242,10 +255,18 @@ def _field_meta(config) -> dict:
 
 def _make_web_server(port: int, host: str = "127.0.0.1", initial_config=None):
     """(server, train_state) for the web editor; caller serves forever."""
+    import secrets
+
     from tha4_tpu.distiller.config import DistillerConfig
 
     train_state = _TrainState()
     meta = _field_meta(initial_config)
+    # CSRF defense: POST endpoints write files and launch training, and a
+    # cross-origin JSON POST is a no-preflight "simple" request — loopback
+    # binding alone does not stop a malicious page in the user's browser.
+    # Require a per-launch token (embedded only in our own served page) in a
+    # custom header, and reject Origins other than our own.
+    token = secrets.token_hex(16)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
@@ -258,10 +279,22 @@ def _make_web_server(port: int, host: str = "127.0.0.1", initial_config=None):
             self.end_headers()
             self.wfile.write(body)
 
+        def _post_allowed(self) -> bool:
+            origin = self.headers.get("Origin")
+            if origin:
+                try:
+                    ohost = urllib.parse.urlparse(origin).netloc
+                except ValueError:
+                    return False
+                if ohost != self.headers.get("Host", ""):
+                    return False
+            return secrets.compare_digest(
+                self.headers.get("X-Tha4-Token", ""), token)
+
         def do_GET(self):
             path = urllib.parse.urlparse(self.path).path
             if path in ("/", "/index.html"):
-                self._send(200, _FORM_PAGE.encode(), "text/html")
+                self._send(200, _FORM_PAGE.replace("%TOKEN%", token).encode(), "text/html")
             elif path == "/meta":
                 self._send(200, json.dumps(meta).encode())
             elif path == "/state":
@@ -271,6 +304,10 @@ def _make_web_server(port: int, host: str = "127.0.0.1", initial_config=None):
 
         def do_POST(self):
             path = urllib.parse.urlparse(self.path).path
+            if not self._post_allowed():
+                self._send(403, json.dumps(
+                    {"error": "cross-origin or tokenless POST rejected"}).encode())
+                return
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 values = json.loads(self.rfile.read(n) or b"{}")
@@ -289,6 +326,10 @@ def _make_web_server(port: int, host: str = "127.0.0.1", initial_config=None):
                     self._send(404, b'{"error": "not found"}')
             except (ValueError, json.JSONDecodeError) as e:
                 self._send(400, json.dumps({"error": str(e)}).encode())
+            except OSError as e:
+                # e.g. read-only prefix after makedirs, disk full: return a
+                # parseable JSON error instead of dropping the connection.
+                self._send(500, json.dumps({"error": f"{type(e).__name__}: {e}"}).encode())
 
     return ThreadingHTTPServer((host, port), Handler), train_state
 

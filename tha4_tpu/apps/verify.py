@@ -207,6 +207,11 @@ def main(argv=None, teacher_cfg=None) -> int:
                         help="skip the int8 teacher-label fidelity check")
     parser.add_argument("--int8-floor", type=float, default=40.0,
                         help="PSNR (dB) above which --teacher-int8 is recommended for distillation")
+    parser.add_argument("--int8-grid-l1-ceiling", type=float, default=1e-3,
+                        help="max mean-|grid_change| error (normalized units; 1e-3 "
+                             "= ~0.26 px at 512) allowed before --teacher-int8 is "
+                             "recommended — the warp-field label is a weighted loss "
+                             "term, so image PSNR alone must not gate it")
     parser.add_argument("--int8-cal-poses", type=int, default=8,
                         help="calibration poses for the int8 check (one batched forward)")
     args = parser.parse_args(argv)
@@ -335,10 +340,17 @@ def main(argv=None, teacher_cfg=None) -> int:
             for i in (0, 1, 3):  # image-like labels -> PSNR
                 worst = min(worst, fidelity.psnr(np.asarray(ref[i]), np.asarray(q[i])))
             grid_l1 = max(grid_l1, float(jnp.mean(jnp.abs(ref[2] - q[2]))))
-        recommend = "on" if worst >= args.int8_floor else "off"
+        # Both gates must pass: image-label PSNR AND the warp-field label's L1
+        # (a weighted loss term in make_body_distill_chunk — quantization that
+        # corrupts grid_change while keeping image PSNR high must not pass).
+        recommend = (
+            "on" if worst >= args.int8_floor and grid_l1 <= args.int8_grid_l1_ceiling
+            else "off"
+        )
         report("int8 teacher fidelity", "ok",
                psnr_min=round(worst, 2), grid_change_l1_max=round(grid_l1, 6),
-               floor=args.int8_floor, convs_quantized=len(scales), recommend=recommend)
+               floor=args.int8_floor, grid_l1_ceiling=args.int8_grid_l1_ceiling,
+               convs_quantized=len(scales), recommend=recommend)
 
     # ---- 3. pose dataset --------------------------------------------------
     pose_file = os.path.join(args.data_dir, "pose_dataset.pt")
