@@ -294,6 +294,7 @@ def make_body_distill_chunk(
     lookahead: int = 1,
     teacher_quant=None,
     teacher_dtype=None,
+    student_mixed: bool = False,
 ):
     """Body-student analogue of make_face_distill_chunk.
 
@@ -302,6 +303,12 @@ def make_body_distill_chunk(
     label generation (like ``teacher_quant``), while the student's dtype is
     a gradient-precision choice — tools/dtype_ab.py measures the two
     separately.
+
+    ``student_mixed``: run the student's forward/backward in selective-f32
+    (bf16 matmul operands, f32 accumulation + sines + head;
+    models/siren.py _sine_linear docstring) — closes the measured bf16
+    training-fidelity gap (grid_l1 6x worse than f32, docs/runs/dtype_ab)
+    at near-bf16 step cost.
 
     ``lookahead`` = K batches the teacher in groups of K steps: the teacher is
     FROZEN, so the labels for the next K optimization steps can be computed in
@@ -322,8 +329,10 @@ def make_body_distill_chunk(
         image_b = jnp.broadcast_to(image.astype(t_dtype), (n,) + image.shape[1:])
         with quant.apply_scales(teacher_quant):
             t = mode_07.compute_outputs(teacher_cfg, teacher_params, image_b, poses.astype(t_dtype))
-        # Stash stays in compute dtype (the loss casts to f32 at use, exactly
-        # as the unstashed path did on the already-compute-dtype outputs).
+        # Stash stays in the teacher's activation dtype (t_dtype, which can
+        # differ from the student's compute_dtype in split arms like
+        # bf16t+f32s); the loss casts to f32 at use, exactly as the unstashed
+        # path did on the already-activation-dtype outputs.
         return tuple(
             jax.lax.stop_gradient(t[i]) for i in (0, 2, 3, mode_07.INDEX_FACE_MORPHED_FULL)
         )
@@ -335,7 +344,7 @@ def make_body_distill_chunk(
         gt_grid = gt_grid_c.astype(jnp.float32)
         outs = siren.siren_morpher_apply_nhwc(
             student_cfg, params, student_input.astype(compute_dtype),
-            poses.astype(compute_dtype))
+            poses.astype(compute_dtype), mixed=student_mixed)
         pred_blended = outs[siren.SIREN_MORPHER_INDEX_BLENDED_IMAGE].astype(jnp.float32)
         pred_warped = outs[siren.SIREN_MORPHER_INDEX_WARPED_IMAGE].astype(jnp.float32)
         pred_grid = outs[siren.SIREN_MORPHER_INDEX_GRID_CHANGE].astype(jnp.float32)

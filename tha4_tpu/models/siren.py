@@ -70,7 +70,7 @@ def _init_he_linear(key, cin: int, cout: int) -> Params:
     return {"w": w, "b": b}
 
 
-def _sine_linear(params: Params, x: jnp.ndarray, omega0: float) -> jnp.ndarray:
+def _sine_linear(params: Params, x: jnp.ndarray, omega0: float, mixed: bool = False) -> jnp.ndarray:
     """x: (..., Cin) -> sin(omega0 * (x @ w + b)).
 
     Uses the polynomial sine (ops.pallas_siren._fast_sin, max err 6.5e-7 —
@@ -81,14 +81,32 @@ def _sine_linear(params: Params, x: jnp.ndarray, omega0: float) -> jnp.ndarray:
     plain autodiff — XLA already rematerializes the polynomial chain; see
     its STATUS docstring).  The torch/builtin-sin oracles in
     tests/test_mode_14_parity.py and tests/test_pallas_siren.py lock this
-    path at 2e-4 f32 regardless."""
+    path at 2e-4 f32 regardless.
+
+    ``mixed``: selective-f32 for bf16 TRAINING (tools/dtype_ab.py measured
+    bf16's grid_l1 6x worse than f32 at 51k examples).  The phase of
+    sin(omega0*pre) loses ~omega0*|pre|*2^-8 radians to a bf16 pre-activation
+    — up to ~0.1 rad, i.e. ~10% activation error — so mixed keeps the matmul
+    OPERANDS bf16 (one MXU pass, same speed) but accumulates to f32 and runs
+    the sine in f32; only the layer OUTPUT is stored bf16.  Weights are cast
+    through bf16 first so the multiplied values match the pure-bf16 path."""
     from tha4_tpu.ops.pallas_siren import poly_sin
 
+    if mixed:
+        w = params["w"].astype(jnp.bfloat16) if x.dtype == jnp.bfloat16 else params["w"]
+        pre = jnp.matmul(x, w, preferred_element_type=jnp.float32)
+        pre = pre + params["b"].astype(jnp.float32)
+        return poly_sin(omega0 * pre).astype(x.dtype)
     pre = x @ params["w"].astype(x.dtype) + params["b"].astype(x.dtype)
     return poly_sin(omega0 * pre).astype(x.dtype)
 
 
-def _linear(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+def _linear(params: Params, x: jnp.ndarray, mixed: bool = False) -> jnp.ndarray:
+    if mixed:
+        # Head in selective-f32: bf16 operands, f32 accumulation, f32 OUTPUT
+        # (grid_change/alpha/color slices stay f32 into the warp and loss).
+        w = params["w"].astype(jnp.bfloat16) if x.dtype == jnp.bfloat16 else params["w"]
+        return jnp.matmul(x, w, preferred_element_type=jnp.float32) + params["b"].astype(jnp.float32)
     return x @ params["w"].astype(x.dtype) + params["b"].astype(x.dtype)
 
 
@@ -226,7 +244,7 @@ def siren_morpher_init(key, cfg: SirenMorpherConfig) -> Params:
     return {"levels": levels, "last_linear": head}
 
 
-def _first_sine_linear_split(layer: Params, x_resized, pose: jnp.ndarray, size: int, omega0: float):
+def _first_sine_linear_split(layer: Params, x_resized, pose: jnp.ndarray, size: int, omega0: float, mixed: bool = False):
     """A level's first sine layer WITHOUT materializing the [x, pos, pose]
     concat (which at 512^2/B8 is a 575 MB bf16 tensor written + re-read as a
     backward residual).  The weight rows split as [x | pos | pose]
@@ -242,7 +260,20 @@ def _first_sine_linear_split(layer: Params, x_resized, pose: jnp.ndarray, size: 
     cx = 0 if x_resized is None else x_resized.shape[-1]
     pos_term = pos @ w[cx : cx + 2].astype(jnp.float32)  # (H, W, C)
     pose_term = pose.astype(jnp.float32) @ w[cx + 2 :].astype(jnp.float32)  # (N, C)
-    bias = (pos_term[None] + pose_term[:, None, None, :] + b.astype(jnp.float32)).astype(dt)
+    bias_f32 = pos_term[None] + pose_term[:, None, None, :] + b.astype(jnp.float32)
+    if mixed:
+        # Selective-f32 (see _sine_linear): the f32 pos/pose terms stay f32
+        # through the sine instead of being quantized to bf16 first — at 512^2
+        # the bf16 grid spacing near |x|=1 is 1-2 px, so casting the
+        # pre-activation aliases edge positions before the phase-sensitive
+        # sin(30*pre).  Matmul operands stay bf16 (same MXU passes).
+        if x_resized is None:
+            pre = bias_f32
+        else:
+            wx = w[:cx].astype(dt) if dt == jnp.bfloat16 else w[:cx]
+            pre = jnp.matmul(x_resized, wx, preferred_element_type=jnp.float32) + bias_f32
+        return poly_sin(omega0 * pre).astype(dt)
+    bias = bias_f32.astype(dt)
     pre = bias if x_resized is None else x_resized @ w[:cx].astype(dt) + bias
     return poly_sin(omega0 * pre).astype(dt)
 
@@ -268,21 +299,26 @@ def _morpher_head(out_nhwc: jnp.ndarray, image: jnp.ndarray) -> List[jnp.ndarray
 
 
 def siren_morpher_apply_nhwc(
-    cfg: SirenMorpherConfig, params: Params, image: jnp.ndarray, pose: jnp.ndarray
+    cfg: SirenMorpherConfig, params: Params, image: jnp.ndarray, pose: jnp.ndarray,
+    mixed: bool = False,
 ) -> List[jnp.ndarray]:
     """Channels-last reference formulation (better autodiff layouts; the
     distillation loss uses this for training, where the backward pass
     dominates and XLA's NHWC gradients measure faster than the
     channels-first einsum gradients).  Must stay numerically equivalent to
-    siren_morpher_apply — tests/test_mode_14_parity.py asserts it."""
+    siren_morpher_apply — tests/test_mode_14_parity.py asserts it.
+
+    ``mixed`` (training-only knob): bf16 matmul operands with f32
+    accumulation + f32 sines + f32 head — closes the bf16 training-fidelity
+    gap (tools/dtype_ab.py) at bf16-like step cost.  See _sine_linear."""
     x = None
     for i, lv in enumerate(cfg.levels):
         layers = params["levels"][i]
         xr = None if i == 0 else resize_bilinear(x, (lv.image_size, lv.image_size))
-        x = _first_sine_linear_split(layers[0], xr, pose, lv.image_size, 30.0)
+        x = _first_sine_linear_split(layers[0], xr, pose, lv.image_size, 30.0, mixed=mixed)
         for layer in layers[1:]:
-            x = _sine_linear(layer, x, 30.0)
-    return _morpher_head(_linear(params["last_linear"], x), image)
+            x = _sine_linear(layer, x, 30.0, mixed=mixed)
+    return _morpher_head(_linear(params["last_linear"], x, mixed=mixed), image)
 
 
 def siren_morpher_apply(

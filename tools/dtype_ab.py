@@ -128,14 +128,19 @@ def main():
         print(f"merging into existing arms: {sorted(results)}", flush=True)
     wanted = set(args.arms.split(","))
     arms = [a for a in (
-        ("bf16", jnp.bfloat16, None),
-        ("f32", jnp.float32, None),
+        ("bf16", jnp.bfloat16, None, False),
+        ("f32", jnp.float32, None, False),
         # Split: bf16 teacher LABELS (cheap, like --teacher-int8's rationale)
         # + f32 student gradients — isolates which side the bf16 quality
         # cost above comes from.
-        ("bf16t+f32s", jnp.float32, jnp.bfloat16),
+        ("bf16t+f32s", jnp.float32, jnp.bfloat16, False),
+        # Selective-f32 student: bf16 activations/operands, f32 accumulation
+        # + sines + head (models/siren.py mixed=True), bf16 teacher labels —
+        # the candidate production default if it matches f32 quality at
+        # near-bf16 cost.
+        ("mixed", jnp.bfloat16, None, True),
     ) if a[0] in wanted]
-    for tag, dt, tdt in arms:
+    for tag, dt, tdt, mixed in arms:
         # Production semantics (distiller/pipeline.py): teacher params, the
         # character image, and the student's master weights all STAY f32;
         # compute_dtype only controls the activation dtype inside the chunk
@@ -144,7 +149,7 @@ def main():
         image = image32
         chunk = recipes.make_body_distill_chunk(
             tcfg, scfg, sample_poses, batch_size=args.batch, compute_dtype=dt,
-            lookahead=args.lookahead, teacher_dtype=tdt)
+            lookahead=args.lookahead, teacher_dtype=tdt, student_mixed=mixed)
         params = jax.tree.map(jnp.asarray, student0)
         opt = recipes.adam_init(params)
         t0 = time.perf_counter()
