@@ -15,6 +15,8 @@ import pytest
 
 from tests.conftest import add_reference_to_path, reference_available
 
+pytestmark = pytest.mark.slow  # distillation pipeline smoke runs (minutes each)
+
 LAMBDA_00 = "/root/reference/data/character_models/lambda_00"
 MASK = "/root/reference/data/images/lambda_00_face_mask.png"
 

@@ -5,6 +5,8 @@ import sys
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow  # driver entry compile checks (~10m on host CPU)
+
 
 def test_entry_compiles():
     sys.path.insert(0, "/root/repo")

@@ -19,6 +19,8 @@ from tha4_tpu.models import siren
 from tha4_tpu.parallel import mesh as meshlib
 from tha4_tpu.poser.modes import mode_12
 
+pytestmark = pytest.mark.slow  # 8-device virtual mesh compiles (5m+)
+
 
 def tiny_face_setup():
     """Deterministic tiny face-distill setup (plain function so the

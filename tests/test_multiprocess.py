@@ -25,6 +25,8 @@ import pytest
 
 from test_multichip import _run_step, tiny_face_setup
 
+pytestmark = pytest.mark.slow  # two real processes over gloo (~2m)
+
 _WORKER = os.path.join(os.path.dirname(__file__), "fixtures", "mp_worker.py")
 
 

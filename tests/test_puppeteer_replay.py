@@ -91,3 +91,73 @@ def test_replay_mediapipe_head_calibration(tmp_path):
     assert rc == 0
     saved = json.loads(calfile.read_text())
     assert saved["kind"] == "MediaPipeFacePoseConverterArgs"
+
+
+def _mediapipe_ready():
+    """True iff the optional real-capture deps exist: the mediapipe package
+    AND a FaceLandmarker task bundle (no egress here, so it must be local)."""
+    try:
+        import mediapipe  # noqa: F401
+    except ImportError:
+        return False
+    task = os.environ.get("THA4_FACE_LANDMARKER_TASK", "face_landmarker.task")
+    return os.path.isfile(task)
+
+
+@pytest.mark.skipif(not _mediapipe_ready(),
+                    reason="mediapipe package / face_landmarker.task not available")
+def test_real_mediapipe_landmarker_branch():
+    """Drives the REAL FaceLandmarker (reference
+    character_model_mediapipe_puppeteer.py:410-418) with synthetic camera
+    frames — executes the actual package-integration glue, not the stub.
+    A blank frame has no face, so the landmarker must return None (the
+    no-face branch); the pipeline construction itself is the thing under
+    test.  Runs only where the optional package + task bundle exist."""
+    import numpy as np
+
+    from tha4_tpu.apps import puppeteer
+
+    class SyntheticCamera:
+        def __init__(self):
+            self.n = 0
+
+        def read(self):
+            self.n += 1
+            if self.n > 3:
+                return False, None
+            frame = np.full((240, 320, 3), 128, np.uint8)  # BGR, faceless
+            return True, frame
+
+    landmarker = puppeteer.make_mediapipe_landmarker(camera=SyntheticCamera())
+    poses = list(puppeteer.mediapipe_face_pose_stream(3, landmarker=landmarker))
+    assert poses == []  # no face in a flat gray frame — and nothing crashed
+
+
+def test_mediapipe_missing_package_error_is_actionable(monkeypatch):
+    """Without the optional package, --source mediapipe fails with a message
+    pointing at the replay alternative instead of a bare ImportError."""
+    import builtins
+
+    from tha4_tpu.apps import puppeteer
+
+    real_import = builtins.__import__
+
+    def no_mediapipe(name, *a, **k):
+        if name.startswith("mediapipe"):
+            raise ImportError("No module named 'mediapipe'")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_mediapipe)
+    with pytest.raises(ImportError, match="file:<trace"):
+        puppeteer.make_mediapipe_landmarker()
+
+
+def test_mediapipe_missing_task_bundle_error(tmp_path, monkeypatch):
+    """With the package but no task bundle, the error names the env var."""
+    pytest.importorskip("mediapipe")
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.delenv("THA4_FACE_LANDMARKER_TASK", raising=False)
+    from tha4_tpu.apps import puppeteer
+
+    with pytest.raises(FileNotFoundError, match="THA4_FACE_LANDMARKER_TASK"):
+        puppeteer.make_mediapipe_landmarker()

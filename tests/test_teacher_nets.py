@@ -11,7 +11,7 @@ import torch
 
 from tests.conftest import add_reference_to_path, reference_available
 
-pytestmark = pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(not reference_available(), reason="reference not mounted")]  # slow: torch-oracle teacher parity sweeps
 
 
 @pytest.fixture(scope="module", autouse=True)

@@ -14,7 +14,7 @@ import torch
 
 from tests.conftest import add_reference_to_path, reference_available
 
-pytestmark = pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(not reference_available(), reason="reference not mounted")]  # slow: torch-oracle full-poser parity
 
 START = 8
 MAXCH = 32
@@ -267,3 +267,93 @@ def test_mode_12_face_pipeline_parity(rng, small_torch_teacher, our_cfg_params):
         mse = float((d * d).mean())
         psnr = 10 * np.log10(4.0 / mse) if mse > 0 else 200.0
         assert psnr > floors[i], f"output {i}: psnr {psnr:.1f}, max {d.max():.2e}"
+
+
+def test_mode_07_prologue_cache_equals_fresh_compute(rng, our_cfg_params):
+    """The image-keyed eyebrow-decomposer cache (reference mode_07.py:54-70)
+    must be outcome-invisible: posing twice with the same image object (cache
+    hit on frame 2) gives bit-identical outputs to a fresh poser, and the
+    prologue runs once."""
+    from tha4_tpu.core import imagecodec
+    from tha4_tpu.poser.modes import mode_07
+
+    cfg, params = our_cfg_params
+    image = imagecodec.load_image_hwc(
+        "/root/reference/data/character_models/lambda_00/character.png"
+    )[None]
+    pose_a = rng.uniform(0, 1, (1, 45)).astype(np.float32)
+    pose_b = rng.uniform(0, 1, (1, 45)).astype(np.float32)
+
+    poser = mode_07.create_poser(params=params, cfg=cfg)
+    out_a = poser.get_posing_outputs(image, pose_a)
+    out_b = poser.get_posing_outputs(image, pose_b)  # cache hit
+    assert poser.prologue_cache_misses == 1
+
+    fresh = mode_07.create_poser(params=params, cfg=cfg)
+    out_b_fresh = fresh.get_posing_outputs(image, pose_b)
+    for i, (x, y) in enumerate(zip(out_b, out_b_fresh)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=f"output {i}")
+    # And the decomposer outputs (tail 6) reflect the image, not garbage.
+    assert np.isfinite(np.asarray(out_a[-6])).all()
+
+
+def test_mode_07_subrect_parity_vs_reference(rng, small_torch_teacher, our_cfg_params):
+    """GeneralPoser subrect == reference GeneralPoser02 subrect
+    (reference general_poser_02.py:63-79): pose a 512x512 sub-rectangle of a
+    bigger canvas; both frameworks must pick the same pixels."""
+    from tha4.poser.general_poser_02 import GeneralPoser02
+    from tha4.poser.modes.mode_07 import FiveStepPoserComputationProtocol
+    from tha4.poser.modes.pose_parameters import get_pose_parameters as ref_get_pp
+
+    from tha4_tpu.core import imagecodec
+    from tha4_tpu.poser.modes import mode_07
+
+    dec, comb, face, body, ups = small_torch_teacher
+    subrect = ((100, 612), (37, 549))
+    ref_poser = GeneralPoser02(
+        image_size=512,
+        module_loaders={
+            "eyebrow_decomposer": lambda: dec,
+            "eyebrow_morphing_combiner": lambda: comb,
+            "face_morpher": lambda: face,
+            "body_morpher": lambda: body,
+            "upscaler": lambda: ups,
+        },
+        pose_parameters=ref_get_pp().get_pose_parameter_groups(),
+        output_list_func=FiveStepPoserComputationProtocol(2).compute_func(),
+        subrect=subrect,
+        device=torch.device("cpu"),
+        output_length=33,
+    )
+    cfg, params = our_cfg_params
+    our_poser = mode_07.create_poser(params=params, cfg=cfg, subrect=subrect)
+
+    char = imagecodec.load_image_hwc(
+        "/root/reference/data/character_models/lambda_00/character.png"
+    )
+    # 768x768 canvas with the character pasted at the subrect origin.
+    canvas = np.tile(rng.uniform(-1, 1, (1, 1, 4)).astype(np.float32), (768, 768, 1))
+    canvas[100:612, 37:549] = char
+    pose = rng.uniform(0, 1, (1, 45)).astype(np.float32)
+    pose[:, 35:42] = rng.uniform(-1, 1, (1, 7))
+
+    ours = our_poser.get_posing_outputs(canvas[None], pose)
+    with torch.no_grad():
+        theirs = ref_poser.get_posing_outputs(
+            torch.from_numpy(np.transpose(canvas, (2, 0, 1))), torch.from_numpy(pose[0])
+        )
+    assert len(ours) == len(theirs) == 33
+    # Same stage-appropriate floors as the full-pipeline parity test.
+    floors = [40.0] * 5 + [65.0] * 6 + [58.0] * 8 + [80.0] * 8 + [100.0] * 6
+    for i, (o, t) in enumerate(zip(ours, theirs)):
+        o = np.asarray(o)
+        t = t.permute(0, 2, 3, 1).numpy()
+        assert o.shape == t.shape, f"output {i}: {o.shape} vs {t.shape}"
+        mse = float(((o - t) ** 2).mean())
+        psnr = 10 * np.log10(4.0 / mse) if mse > 0 else 200.0
+        assert psnr > floors[i], f"output {i}: psnr {psnr:.1f}"
+    # And identical to posing the hand-cropped canvas without subrect.
+    plain = mode_07.create_poser(params=params, cfg=cfg)
+    direct = plain.get_posing_outputs(np.ascontiguousarray(canvas[100:612, 37:549])[None], pose)
+    for i, (x, y) in enumerate(zip(ours, direct)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=f"output {i}")

@@ -10,6 +10,9 @@ import numpy as np
 from tha4_tpu.training import checkpoint as ckpt
 from tha4_tpu.training.schedules import TrainingPhase, TrainingPhases, step_lr_schedule
 from tha4_tpu.training.trainer import Trainer, TrainerConfig, get_least_greater_multiple
+import pytest
+
+pytestmark = pytest.mark.slow  # trainer loops with real chunk compiles
 
 
 def test_flatten_roundtrip():

@@ -18,7 +18,7 @@ import torch
 
 from tests.conftest import add_reference_to_path, reference_available
 
-pytestmark = pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(not reference_available(), reason="reference not mounted")]  # slow: tha4-verify end-to-end harness (teacher forwards)
 
 LAMBDA_00 = "/root/reference/data/character_models/lambda_00"
 
