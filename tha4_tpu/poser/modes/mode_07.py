@@ -14,9 +14,12 @@ All-outputs list (33 tensors, reference :119-132):
   upscaler(5) + [face_morphed_full] + body(5) + face(8) + combiner(8) + decomposer(6)
 
 The reference memoizes the eyebrow-decomposer output across frames with an
-exact tensor-diff check (:54-70); here the whole pipeline is one XLA program
-and the rest-image branch costs one extra 128x128 network — callers that want
-the same caching can pass ``decomposer_cache`` (see TeacherPoser.pose).
+exact tensor-diff check (:54-70); create_poser reproduces that cache at the
+GeneralPoser layer — the decomposer compiles as a separate prologue program
+whose outputs are cached per image object, so interactive pose changes on an
+unchanged rest image skip network 1 exactly like the reference.  Direct
+compute_outputs callers (the fused distillation step) inline the decomposer
+into the single program instead, where XLA CSE keeps it cheap.
 """
 
 from __future__ import annotations
@@ -183,9 +186,14 @@ def create_poser(
     params: Optional[Dict] = None,
     cfg: Optional[TeacherConfig] = None,
     matmul_precision: Optional[str] = None,
+    subrect=None,
 ) -> GeneralPoser:
     """Reference create_poser (mode_07.py:272-315); params may be supplied
-    directly (e.g. random init) instead of torch files."""
+    directly (e.g. random init) instead of torch files.
+
+    The eyebrow decomposer runs as a GeneralPoser prologue memoized per
+    image object (the reference's cross-frame cache, mode_07.py:54-70):
+    interactive pose changes on the same rest image skip network 1."""
     import dataclasses
 
     cfg = cfg or TeacherConfig()
@@ -201,8 +209,12 @@ def create_poser(
         image_size=512,
         output_length=OUTPUT_LENGTH,
         params_loader=loader,
-        run_fn=lambda p, image, pose: compute_outputs(cfg, p, image, pose),
+        run_fn=lambda p, image, pose, *dec: compute_outputs(
+            cfg, p, image, pose, decomposer_outputs=list(dec) or None
+        ),
         default_output_index=default_output_index,
         compute_dtype=compute_dtype,
         matmul_precision=matmul_precision,
+        subrect=subrect,
+        prologue_fn=lambda p, image: compute_decomposer_outputs(cfg, p, image),
     )

@@ -101,6 +101,7 @@ def create_poser(
     compute_dtype=jnp.float32,
     params: Optional[Dict] = None,
     cfg: Optional[FaceTeacherConfig] = None,
+    subrect=None,
 ) -> GeneralPoser:
     import dataclasses
 
@@ -120,4 +121,5 @@ def create_poser(
         run_fn=lambda p, image, pose: compute_outputs(cfg, p, image, pose),
         default_output_index=default_output_index,
         compute_dtype=compute_dtype,
+        subrect=subrect,
     )
