@@ -70,45 +70,83 @@ def synthetic_blendshape_stream(frames: int) -> Iterator[dict]:
         yield pose
 
 
+def make_mediapipe_landmarker(camera=None, model_asset_path: str | None = None):
+    """Build the REAL FaceLandmarker pipeline (reference
+    character_model_mediapipe_puppeteer.py:410-418): VIDEO running mode,
+    blendshapes + facial transformation matrix, frames from ``camera``
+    (any object with ``read() -> (ok, bgr_hwc_uint8)``; default
+    cv2.VideoCapture(0) — cv2 is imported only for that default, so an
+    injected camera needs just the ``mediapipe`` package).
+
+    ``model_asset_path`` defaults to $THA4_FACE_LANDMARKER_TASK or
+    ``face_landmarker.task`` in the CWD (Google's downloadable task bundle;
+    this environment has no egress, so the path must be user-supplied).
+    Raises ImportError/FileNotFoundError with actionable messages — callers
+    fall back to ``--source file:<trace>`` replay.
+    """
+    import os
+
+    import numpy as np
+
+    try:
+        import mediapipe as mp
+        from mediapipe.tasks.python import BaseOptions, vision
+    except ImportError as e:
+        raise ImportError(
+            "--source mediapipe needs the optional 'mediapipe' package "
+            "(pip install mediapipe); use --source file:<trace.jsonl> for "
+            "replay without it"
+        ) from e
+
+    from tha4_tpu.mocap.mediapipe_face_pose import MediaPipeFacePose
+
+    task = model_asset_path or os.environ.get(
+        "THA4_FACE_LANDMARKER_TASK", "face_landmarker.task")
+    if not os.path.isfile(task):
+        raise FileNotFoundError(
+            f"FaceLandmarker task bundle not found: {task!r} (download "
+            "face_landmarker.task from MediaPipe and point "
+            "$THA4_FACE_LANDMARKER_TASK at it)")
+    options = vision.FaceLandmarkerOptions(
+        base_options=BaseOptions(model_asset_path=task),
+        running_mode=vision.RunningMode.VIDEO,
+        output_face_blendshapes=True,
+        output_facial_transformation_matrixes=True,
+        num_faces=1,
+    )
+    real_landmarker = vision.FaceLandmarker.create_from_options(options)
+    if camera is None:
+        import cv2
+
+        camera = cv2.VideoCapture(0)
+
+    def landmarker(timestamp_ms):
+        ok, frame_bgr = camera.read()
+        if not ok:
+            return None
+        rgb = np.ascontiguousarray(np.asarray(frame_bgr)[..., ::-1])  # BGR->RGB
+        mp_image = mp.Image(image_format=mp.ImageFormat.SRGB, data=rgb)
+        result = real_landmarker.detect_for_video(mp_image, timestamp_ms)
+        if not result.face_blendshapes:
+            return None
+        blend = {c.category_name: c.score for c in result.face_blendshapes[0]}
+        xform = result.facial_transformation_matrixes[0]
+        return MediaPipeFacePose(blend, xform)
+
+    return landmarker
+
+
 def mediapipe_face_pose_stream(frames: int, landmarker=None, camera=None) -> Iterator:
     """Webcam + FaceLandmarker -> MediaPipeFacePose stream (reference
     character_model_mediapipe_puppeteer.py:410-418 loop).
 
     ``landmarker``/``camera`` are injectable for tests (a stub landmarker
     exercises the full puppeteer path without the mediapipe package or a
-    camera).  The production default builds MediaPipe FaceLandmarker in VIDEO
-    mode with blendshapes + the facial transform matrix, reading cv2
-    VideoCapture(0).
+    camera); the production default is the real pipeline from
+    make_mediapipe_landmarker.
     """
-    from tha4_tpu.mocap.mediapipe_face_pose import MediaPipeFacePose
-
     if landmarker is None:
-        import cv2
-        import mediapipe as mp
-        from mediapipe.tasks.python import BaseOptions, vision
-
-        options = vision.FaceLandmarkerOptions(
-            base_options=BaseOptions(model_asset_path="face_landmarker.task"),
-            running_mode=vision.RunningMode.VIDEO,
-            output_face_blendshapes=True,
-            output_facial_transformation_matrixes=True,
-            num_faces=1,
-        )
-        real_landmarker = vision.FaceLandmarker.create_from_options(options)
-        cap = camera or cv2.VideoCapture(0)
-
-        def landmarker(timestamp_ms):
-            ok, frame_bgr = cap.read()
-            if not ok:
-                return None
-            rgb = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB)
-            mp_image = mp.Image(image_format=mp.ImageFormat.SRGB, data=rgb)
-            result = real_landmarker.detect_for_video(mp_image, timestamp_ms)
-            if not result.face_blendshapes:
-                return None
-            blend = {c.category_name: c.score for c in result.face_blendshapes[0]}
-            xform = result.facial_transformation_matrixes[0]
-            return MediaPipeFacePose(blend, xform)
+        landmarker = make_mediapipe_landmarker(camera=camera)
 
     for i in range(frames):
         pose = landmarker(int(i * 33.3))
