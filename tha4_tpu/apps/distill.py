@@ -47,6 +47,22 @@ def main(argv=None) -> int:
         "100k checkpoint cadence.",
     )
     parser.add_argument(
+        "--mixed",
+        action="store_true",
+        help="selective-f32 (mixed-precision) BODY student training: bf16 "
+        "activations/matmul operands with f32 position grids, sine "
+        "evaluation, accumulation and head (models/siren.py mixed mode). "
+        "Closes the bf16 grid-fidelity gap at near-bf16 step cost — see "
+        "docs/perf.md 'training dtype' table.",
+    )
+    parser.add_argument(
+        "--only",
+        choices=("all", "face", "body"),
+        default="all",
+        help="run only one student's training task from the DAG instead of "
+        "the full pipeline (default: all).",
+    )
+    parser.add_argument(
         "--teacher-int8",
         action="store_true",
         help="run the frozen teacher with int8 convolutions (post-training "
@@ -79,6 +95,8 @@ def main(argv=None) -> int:
         )
     if args.teacher_int8:
         kwargs["teacher_int8"] = True
+    if args.mixed:
+        kwargs["student_mixed"] = True
     from tha4_tpu.distiller import recipes
 
     for name, value in (("face", args.face_examples), ("body", args.body_examples)):
@@ -90,7 +108,8 @@ def main(argv=None) -> int:
                 f"{recipes.EXAMPLES_PER_CHECKPOINT}"
             )
         kwargs[f"{name}_total_examples"] = value
-    run_config(config, compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32, **kwargs)
+    run_config(config, target=args.only,
+               compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32, **kwargs)
     return 0
 
 

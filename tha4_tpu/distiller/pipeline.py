@@ -56,9 +56,11 @@ class DistillationJobs:
         examples_per_snapshot: int = 10_000,
         mesh=None,
         teacher_int8: bool = False,
+        student_mixed: bool = False,
     ):
         self.config = config
         self.teacher_int8 = teacher_int8
+        self.student_mixed = student_mixed
         self._teacher_quant_07 = None
         self._teacher_quant_12 = None
         self.compute_dtype = compute_dtype
@@ -280,6 +282,7 @@ class DistillationJobs:
             mesh=self.mesh,
             lookahead=recipes.default_lookahead(config.body_morpher_batch_size, self.mesh),
             teacher_quant=self.teacher_quant_07(),
+            student_mixed=self.student_mixed,
         )
 
         def train_chunk(params, opt_state, chunk_key, examples_seen, lr, weights, n_steps):
@@ -471,9 +474,19 @@ class DistillationJobs:
             export_torch.save_body_morpher_pt(params, dest)
 
 
-def run_config(config: DistillerConfig, **kwargs) -> None:
-    """The distill entry (reference app/distill.py:8-25)."""
+def run_config(config: DistillerConfig, target: str = "all", **kwargs) -> None:
+    """The distill entry (reference app/distill.py:8-25).
+
+    ``target`` selects which DAG node to run: ``all`` (default, the full
+    reference pipeline), ``face`` or ``body`` (that student's train task
+    only — useful for bounded single-student throughput runs).
+    """
     jobs = DistillationJobs(config, **kwargs)
     workspace = Workspace()
     jobs.define_tasks(workspace)
-    workspace.run(f"{config.prefix}/all")
+    if target == "face":
+        workspace.run(f"{config.face_morpher_prefix()}/train")
+    elif target == "body":
+        workspace.run(f"{config.body_morpher_prefix()}/train")
+    else:
+        workspace.run(f"{config.prefix}/all")
