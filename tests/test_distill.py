@@ -270,6 +270,65 @@ def test_distill_cli_random_teacher_flag(tmp_path, monkeypatch):
     assert "teacher_params_07" not in seen
 
 
+def test_distill_cli_only_and_mixed_flags(tmp_path, monkeypatch):
+    """--only body must run ONLY the body student's train task (not the full
+    /all DAG), and --mixed must thread student_mixed=True into
+    DistillationJobs -> make_body_distill_chunk (the selective-f32 recipe,
+    docs/perf.md training-dtype table)."""
+    import yaml
+
+    from tha4_tpu.apps import distill as distill_app
+    from tha4_tpu.distiller import pipeline
+
+    prefix = str(tmp_path / "job")
+    os.makedirs(prefix)
+    cfg_path = os.path.join(prefix, "config.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(
+            {
+                "prefix": prefix,
+                "character_image_file_name": "/root/reference/data/images/lambda_00.png",
+                "face_mask_image_file_name": MASK,
+            },
+            f,
+        )
+
+    seen = {}
+
+    def fake_run_config(config, target="all", **kwargs):
+        seen["target"] = target
+        seen.update(kwargs)
+
+    monkeypatch.setattr("tha4_tpu.distiller.pipeline.run_config", fake_run_config)
+    assert distill_app.main(["--config_file", cfg_path, "--only", "body", "--mixed"]) == 0
+    assert seen["target"] == "body"
+    assert seen["student_mixed"] is True
+
+    seen.clear()
+    assert distill_app.main(["--config_file", cfg_path]) == 0
+    assert seen["target"] == "all"
+    assert "student_mixed" not in seen
+
+    # run_config target plumbing: 'body' resolves to the body train task.
+    ran = []
+    monkeypatch.undo()
+    monkeypatch.setattr(
+        "tha4_tpu.distiller.pipeline.DistillationJobs.define_tasks", lambda self, ws: None
+    )
+    monkeypatch.setattr(
+        "tha4_tpu.tasks.workspace.Workspace.run", lambda self, name: ran.append(name)
+    )
+    from tha4_tpu.distiller.config import DistillerConfig
+
+    cfg = DistillerConfig.load(cfg_path)
+    pipeline.run_config(cfg, target="body")
+    pipeline.run_config(cfg, target="face")
+    pipeline.run_config(cfg, target="all")
+    assert ran[0] == cfg.body_morpher_prefix() + "/train"
+    assert ran[1] == cfg.face_morpher_prefix() + "/train"
+    assert ran[2] == cfg.prefix + "/all"
+
+
 @pytest.mark.skipif(not reference_available(), reason="reference data not mounted")
 def test_face_distill_smoke_meshed_compile_ahead(tmp_path):
     """The pipeline's compile-ahead path under a real (data) mesh: the

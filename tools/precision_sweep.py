@@ -161,6 +161,14 @@ def main():
         "--model",
         default="/root/reference/data/character_models/lambda_00/character_model.yaml",
     )
+    parser.add_argument(
+        "--fps-only",
+        action="store_true",
+        help="skip the selective-f32 VARIANTS quality loop (its PSNR/SSIM "
+        "numbers are dtype-math only and do not drift with kernel perf "
+        "changes); re-measure just the production (storage dtype, MXU tier) "
+        "ladder — PSNR + fps.",
+    )
     args = parser.parse_args()
 
     from tha4_tpu.charmodel import CharacterModel
@@ -179,7 +187,7 @@ def main():
         golden.append(np.asarray(poser.pose(image, p[None]))[0])
 
     rows = []
-    for name, flags in VARIANTS:
+    for name, flags in ([] if args.fps_only else VARIANTS):
         v = dict(storage=jnp.bfloat16, **flags)
 
         # One compiled program per variant (flags are trace-time constants).
