@@ -304,10 +304,16 @@ def test_distill_cli_only_and_mixed_flags(tmp_path, monkeypatch):
     assert seen["target"] == "body"
     assert seen["student_mixed"] is True
 
+    # mixed is the production default since the round-5 dtype A/B; --no-mixed
+    # restores the plain-bf16 student.
     seen.clear()
     assert distill_app.main(["--config_file", cfg_path]) == 0
     assert seen["target"] == "all"
-    assert "student_mixed" not in seen
+    assert seen["student_mixed"] is True
+
+    seen.clear()
+    assert distill_app.main(["--config_file", cfg_path, "--no-mixed"]) == 0
+    assert seen["student_mixed"] is False
 
     # run_config target plumbing: 'body' resolves to the body train task.
     ran = []

@@ -49,11 +49,20 @@ def main(argv=None) -> int:
     parser.add_argument(
         "--mixed",
         action="store_true",
+        default=True,
         help="selective-f32 (mixed-precision) BODY student training: bf16 "
         "activations/matmul operands with f32 position grids, sine "
         "evaluation, accumulation and head (models/siren.py mixed mode). "
-        "Closes the bf16 grid-fidelity gap at near-bf16 step cost — see "
-        "docs/perf.md 'training dtype' table.",
+        "THE PRODUCTION DEFAULT since the round-5 dtype A/B: closes the "
+        "bf16 grid-fidelity gap (grid L1 0.0908 -> 0.0177, f32 = 0.0152) "
+        "at ~0-3%% step cost — see docs/perf.md 'training dtype' table.",
+    )
+    parser.add_argument(
+        "--no-mixed",
+        dest="mixed",
+        action="store_false",
+        help="plain-bf16 student training (the pre-round-5 default; 6x worse "
+        "grid-change L1 than f32 on the measured A/B).",
     )
     parser.add_argument(
         "--only",
@@ -95,8 +104,7 @@ def main(argv=None) -> int:
         )
     if args.teacher_int8:
         kwargs["teacher_int8"] = True
-    if args.mixed:
-        kwargs["student_mixed"] = True
+    kwargs["student_mixed"] = args.mixed
     from tha4_tpu.distiller import recipes
 
     for name, value in (("face", args.face_examples), ("body", args.body_examples)):

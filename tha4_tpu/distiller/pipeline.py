@@ -56,7 +56,7 @@ class DistillationJobs:
         examples_per_snapshot: int = 10_000,
         mesh=None,
         teacher_int8: bool = False,
-        student_mixed: bool = False,
+        student_mixed: bool = True,
     ):
         self.config = config
         self.teacher_int8 = teacher_int8
