@@ -73,6 +73,41 @@ def test_workspace_file_task_semantics(tmp_path):
     assert runs == ["a", "b", "b"]
 
 
+def test_task_selector_tree_and_interactive(tmp_path, monkeypatch, capsys):
+    """tha4-tasks --tree/--interactive: the TaskSelectorUi equivalent
+    (reference src/tha4/pytasuku/task_selector_ui.py:1-113) — path-segment
+    tree with status markers; interactive selection by number or name runs
+    the task."""
+    from tha4_tpu.apps import tasks_cli
+
+    ws = Workspace()
+    out1 = str(tmp_path / "j" / "a.txt")
+    os.makedirs(tmp_path / "j")
+    runs = []
+
+    @file_task(ws, out1, [])
+    def make_a():
+        runs.append("a")
+        open(out1, "w").write("a")
+
+    ws.create_command_task(str(tmp_path / "j" / "all"), [out1])
+
+    lines, order = tasks_cli._render_tree(ws, numbered=True)
+    text = "\n".join(lines)
+    assert "a.txt" in text and "(STALE)" in text and "all" in text
+    assert order and out1 in order
+
+    # interactive: select the file task by its number, then quit
+    idx = order.index(out1) + 1
+    answers = iter([str(idx), "q"])
+    monkeypatch.setattr("builtins.input", lambda prompt="": next(answers))
+    assert tasks_cli._interactive_loop(ws) == 0
+    assert runs == ["a"]
+    # tree re-rendered after the run shows it up to date
+    lines2, _ = tasks_cli._render_tree(ws, numbered=False)
+    assert any("a.txt  (up to date)" in ln for ln in lines2)
+
+
 def test_indexed_tasks(tmp_path):
     ws = Workspace()
     done = []
