@@ -262,3 +262,40 @@ def test_persistent_compile_cache_enabled(tmp_path, monkeypatch):
         # Never leave the process-global cache dir pointed at the deleted
         # tmp_path, even when an assert above fails.
         jax.config.update("jax_compilation_cache_dir", original)
+
+
+def test_run_report_phase_rollup(tmp_path):
+    """tools/run_report.py --phases: per-phase sustained ms/step and loss
+    trajectory, resume-aware (elapsed resets split segments so restart gaps
+    never count as training time)."""
+    import importlib.util
+    import json
+
+    import pytest
+
+    spec = importlib.util.spec_from_file_location(
+        "run_report", os.path.join(os.path.dirname(__file__), "..", "tools", "run_report.py"))
+    rr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rr)
+
+    logdir = tmp_path / "body_morpher" / "log"
+    os.makedirs(logdir)
+    rows = []
+    # phase 1 spans [0, 200): 100 examples per 2 s  (B8 -> 160 ms/step)
+    for i in range(5):
+        rows.append({"examples_seen": i * 100, "elapsed": i * 2.0, "loss": 1.0 - 0.1 * i, "lr": 1e-4})
+    # kill/restart: elapsed resets; phase 2 spans [200, 400): slower steps
+    for j in range(5):
+        rows.append({"examples_seen": 400 + j * 100, "elapsed": j * 4.0, "loss": 0.5 - 0.05 * j, "lr": 3e-5})
+    with open(logdir / "scalars.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    out = rr.report_phases("body", str(tmp_path), batch=8, boundaries=[200, 1000])
+    assert [r["phase"] for r in out] == [1, 2]
+    p1, p2 = out
+    assert p1["ms_per_step"] == pytest.approx(160.0)   # 2 s / (100/8) steps
+    assert p2["ms_per_step"] == pytest.approx(320.0)
+    assert p1["lrs_observed"] == [1e-4]
+    assert p2["lrs_observed"] == [3e-5]
+    assert p1["entry_loss"] == pytest.approx(1.0) and p2["exit_loss"] == pytest.approx(0.3)
