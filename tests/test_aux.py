@@ -282,9 +282,9 @@ def test_run_report_phase_rollup(tmp_path):
     os.makedirs(logdir)
     rows = []
     # phase 1 spans [0, 200): 100 examples per 2 s  (B8 -> 160 ms/step)
-    for i in range(5):
+    for i in range(3):
         rows.append({"examples_seen": i * 100, "elapsed": i * 2.0, "loss": 1.0 - 0.1 * i, "lr": 1e-4})
-    # kill/restart: elapsed resets; phase 2 spans [200, 400): slower steps
+    # kill/restart: elapsed resets; phase 2 [200, 1000): slower steps
     for j in range(5):
         rows.append({"examples_seen": 400 + j * 100, "elapsed": j * 4.0, "loss": 0.5 - 0.05 * j, "lr": 3e-5})
     with open(logdir / "scalars.jsonl", "w") as f:
@@ -296,6 +296,8 @@ def test_run_report_phase_rollup(tmp_path):
     p1, p2 = out
     assert p1["ms_per_step"] == pytest.approx(160.0)   # 2 s / (100/8) steps
     assert p2["ms_per_step"] == pytest.approx(320.0)
-    assert p1["lrs_observed"] == [1e-4]
-    assert p2["lrs_observed"] == [3e-5]
+    assert 1e-4 in p1["lrs_observed"]
+    assert 3e-5 in p2["lrs_observed"]
     assert p1["entry_loss"] == pytest.approx(1.0) and p2["exit_loss"] == pytest.approx(0.3)
+    # restart gap (elapsed reset between segments) contributed no time
+    assert p1["examples_covered"] + p2["examples_covered"] == 600
