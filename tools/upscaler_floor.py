@@ -313,6 +313,21 @@ def main():
     sum_full = sum(r["ms_full"] * r["count"] for r in rows)
     sum_floor = sum(r["ms_floor"] * r["count"] for r in rows)
 
+    # Per-width rollup and sums first: they need no further measurement, so a
+    # wall-clock timeout during the (long) in-context timings below cannot
+    # take them down with it — that truncation happened twice on 2026-08-19.
+    by_width = defaultdict(lambda: [0.0, 0.0])
+    for r in rows:
+        w = r["block"].split("px")[0].split()[-1]
+        by_width[w][0] += r["ms_full"] * r["count"]
+        by_width[w][1] += r["ms_floor"] * r["count"]
+    print("\nper-width rollup (ms, sum of isolated blocks):")
+    for w in sorted(by_width, key=lambda v: -int(v)):
+        fu, fl = by_width[w]
+        print(f"  {w:>4}px  full {fu:6.2f}  conv-floor {fl:6.2f}  overhead {fu-fl:6.2f}")
+    print(f"\nsum of isolated blocks: full {sum_full:.2f} ms, conv-floor {sum_floor:.2f} ms",
+          flush=True)
+
     # In-context wholes.
     x = jax.random.normal(key, (B, S, S, cfg.in_channels), dt)
     t = jnp.zeros((B, 1), dt)
@@ -330,19 +345,7 @@ def main():
         lambda r: upscaler.apply(ucfg, uparams, r, coarse, grid, pose6), rest,
         iters=args.iters) * 1000
 
-    # Per-width rollup.
-    by_width = defaultdict(lambda: [0.0, 0.0])
-    for r in rows:
-        w = r["block"].split("px")[0].split()[-1]
-        by_width[w][0] += r["ms_full"] * r["count"]
-        by_width[w][1] += r["ms_floor"] * r["count"]
-    print("\nper-width rollup (ms, sum of isolated blocks):")
-    for w in sorted(by_width, key=lambda v: -int(v)):
-        fu, fl = by_width[w]
-        print(f"  {w:>4}px  full {fu:6.2f}  conv-floor {fl:6.2f}  overhead {fu-fl:6.2f}")
-
     glue = ms_net - sum_full
-    print(f"\nsum of isolated blocks: full {sum_full:.2f} ms, conv-floor {sum_floor:.2f} ms")
     print(f"in-context U-Net forward: {ms_net:.2f} ms  (flow glue vs sum-of-parts: "
           f"{glue:+.2f} ms)")
     print(f"full upscaler.apply (warp + coarse conv + U-Net): {ms_ups:.2f} ms")
