@@ -435,13 +435,31 @@ def _apply_packed_flow(
     t_emb: jnp.ndarray,
     cond_emb: jnp.ndarray,
     first_conv_addition: Optional[jnp.ndarray],
+    probe: Optional[Dict] = None,
 ) -> jnp.ndarray:
     """The down/middle/up loops of ``apply`` with every tensor held packed;
-    numerically identical to the plain path (same convs, same statistics)."""
+    numerically identical to the plain path (same convs, same statistics).
+
+    ``probe`` (tools/unet_glue_probe.py only): ``{"cut": K, "labels": []}``.
+    Each block event appends its label; when ``len(labels) == cut`` the flow
+    returns a scalar digest of the live activation instead of running on —
+    prefix-ladder timings of these cuts localize in-context per-block cost
+    (including the relayout/concat glue XLA schedules between blocks, which
+    isolated-block timing cannot see).
+    """
     from tha4_tpu.ops import packed_conv as PC
 
     cb = cfg.condition_bias
     width = x.shape[2]
+
+    def _cut(label: str, h: jnp.ndarray) -> bool:
+        if probe is None:
+            return False
+        probe["labels"].append(label)
+        return probe.get("cut") == len(probe["labels"])
+
+    def _digest(h: jnp.ndarray) -> jnp.ndarray:
+        return jnp.sum(h.astype(jnp.float32))
 
     def flow_factor(c: int, w: int) -> int:
         return PC.pack_factor(c, c, w)
@@ -457,6 +475,8 @@ def _apply_packed_flow(
     )
     if first_conv_addition is not None:
         h = h + PC.pack_nhwc(first_conv_addition.astype(h.dtype), f)
+    if _cut(f"first_conv {width}px c{c} f{f}", h):
+        return _digest(h)
 
     def attend(attn_params, h, f, c, w):
         xq = PC.unpack_nhwc(h, f)
@@ -479,19 +499,29 @@ def _apply_packed_flow(
         for j, rb in enumerate(blk["res_blocks"]):
             h, f = _fused_resblock_packed(rb, h, f, (c,), t_emb, cond_emb, cb, "same")
             c = rb["conv0"]["w"].shape[3]
+            if _cut(f"down{i} rb{j} {width}px c{c} f{f}", h):
+                return _digest(h)
             if cfg.level_use_attention[i]:
                 h, f = attend(blk["attention_blocks"][j], h, f, c, width)
+                if _cut(f"down{i} attn{j} {width}px c{c} f{f}", h):
+                    return _digest(h)
             hs.append((h, f, c))
         if "downsample" in blk:
             h, f = resample(blk["downsample"], h, f, c, width, "down")
             width //= 2
+            if _cut(f"down{i} ds ->{width}px c{c} f{f}", h):
+                return _digest(h)
             hs.append((h, f, c))
 
-    for blk in params["middle_blocks"]:
+    for bi, blk in enumerate(params["middle_blocks"]):
         if "res" in blk:
             h, f = _fused_resblock_packed(blk["res"], h, f, (c,), t_emb, cond_emb, cb, "same")
+            if _cut(f"mid{bi} res {width}px c{c} f{f}", h):
+                return _digest(h)
         else:
             h, f = attend(blk["attn"], h, f, c, width)
+            if _cut(f"mid{bi} attn {width}px c{c} f{f}", h):
+                return _digest(h)
 
     for idx, blk in enumerate(params["up_blocks"]):
         i = cfg.num_levels - 1 - idx
@@ -503,14 +533,22 @@ def _apply_packed_flow(
                  sk if fs == ft else PC.repack(sk, fs, ft)],
                 axis=-1,
             )
+            if _cut(f"up{idx} cat{j} {width}px c{c}+{cs} f{ft}", hcat):
+                return _digest(hcat)
             h, f = _fused_resblock_packed(
                 rb, hcat, ft, (c, cs), t_emb, cond_emb, cb, "same")
             c = rb["conv0"]["w"].shape[3]
+            if _cut(f"up{idx} rb{j} {width}px c{c} f{f}", h):
+                return _digest(h)
             if cfg.level_use_attention[i]:
                 h, f = attend(blk["attention_blocks"][j], h, f, c, width)
+                if _cut(f"up{idx} attn{j} {width}px c{c} f{f}", h):
+                    return _digest(h)
         if "upsample" in blk:
             h, f = resample(blk["upsample"], h, f, c, width, "up")
             width *= 2
+            if _cut(f"up{idx} us ->{width}px c{c} f{f}", h):
+                return _digest(h)
     assert not hs
 
     m1, m2 = PC.packed_channel_stats(h, f)
@@ -526,6 +564,8 @@ def _apply_packed_flow(
         },
         act,
     )
+    if _cut(f"last_conv {width}px f{f}", out):
+        return _digest(out)
     return PC.unpack_nhwc(out, f)
 
 
@@ -610,11 +650,13 @@ def apply(
     t: jnp.ndarray,
     cond: jnp.ndarray,
     first_conv_addition: Optional[jnp.ndarray] = None,
+    probe: Optional[Dict] = None,
 ) -> jnp.ndarray:
     """x (N,S,S,Cin), t (N,1), cond (N,cond_input_channels) -> (N,S,S,Cout).
 
     ``first_conv_addition`` implements UnetWithFirstConvAddition
-    (reference unet.py:640-658).
+    (reference unet.py:640-658).  ``probe`` cuts the packed flow after the
+    Nth block event (see _apply_packed_flow; tools/unet_glue_probe.py).
     """
     te = params["time_embed"]
     t_emb = compute_timestep_embedding(t.astype(jnp.float32), cfg.t_emb_channels)
@@ -626,7 +668,7 @@ def apply(
     cb = cfg.condition_bias
 
     if _packed_flow_enabled():
-        return _apply_packed_flow(cfg, params, x, t_emb, cond_emb, first_conv_addition)
+        return _apply_packed_flow(cfg, params, x, t_emb, cond_emb, first_conv_addition, probe)
 
     h = tnn.conv2d(params["first_conv"], x)
     if first_conv_addition is not None:

@@ -121,14 +121,27 @@ def _coords(gx_ref, gy_ref, h, w, w_mem, kh, kw):
     ly1 = jnp.clip(iy1 - by, 0, kh - 1)
     lx0 = jnp.clip(ix0 - bx, 0, kw - 1)
     lx1 = jnp.clip(ix1 - bx, 0, kw - 1)
-    return gx, gy, tx, ty, by, bx, ly0, ly1, lx0, lx1
+    return ix, iy, tx, ty, by, bx, ly0, ly1, lx0, lx1
 
 
 def _fwd_kernel(gx_ref, gy_ref, img_ref, out_ref, *, h, w, w_mem, kh, kw, th, tw, c):
-    _, _, tx, ty, by, bx, ly0, ly1, lx0, lx1 = _coords(gx_ref, gy_ref, h, w, w_mem, kh, kw)
-    krow = jax.lax.broadcasted_iota(jnp.int32, (th, tw, kh), 2)
-    kcol = jax.lax.broadcasted_iota(jnp.int32, (th, tw, kw), 2)
-    # Folded one-hots: vertical carries the row lerp; horizontal the col lerp.
+    ix, iy, tx, ty, by, bx, ly0, ly1, lx0, lx1 = _coords(gx_ref, gy_ref, h, w, w_mem, kh, kw)
+    # Folded lerp weights as TENT functions: weight[k] = max(0, 1 - |k - l|)
+    # where l = clip(coord - base, 0, K-1) is the float sample position in
+    # window coordinates.  At k = floor(l) this is exactly (1 - t); at
+    # floor(l)+1 it is 1-(1-t) (== t up to one f32 ulp, far below the bf16
+    # truncation the MXU dot applies to the weights anyway); everywhere else
+    # zero — the same folded one-hot the previous compare+select construction
+    # built, in 4 cheap VPU ops per element instead of two integer compares
+    # plus two selects plus an add.  One-hot *construction* is this kernel's
+    # VPU cost center (tools/warp_probe.py), so this is the hot path; border
+    # and out-of-window clamps come out identical because l is clipped to
+    # [0, K-1] (a clamped sample puts weight 1 on the window edge).
+    # (Mosaic's tpu.iota is integer-only; build int32 and convert.)
+    krow = jax.lax.broadcasted_iota(jnp.int32, (th, tw, kh), 2).astype(jnp.float32)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (th, tw, kw), 2).astype(jnp.float32)
+    ly = jnp.clip(iy - by, 0.0, kh - 1.0)
+    lx = jnp.clip(ix - bx, 0.0, kw - 1.0)
     # The vertical dot runs at explicit DEFAULT precision: one MXU pass, with
     # operands truncated to bf16.  This quantizes the folded lerp weight to a
     # bf16 mantissa (<=0.4% weight error) and is the production inference
@@ -141,13 +154,8 @@ def _fwd_kernel(gx_ref, gy_ref, img_ref, out_ref, *, h, w, w_mem, kh, kw, th, tw
     # kernel_dot_precision's docstring and test_pallas_warp's ambient-
     # precision regression test.  An exact-corner alternative exists in
     # _fwd_corners_kernel (used under differentiation).
-    ohv = (
-        jnp.where(krow == ly0[..., None], (1.0 - ty)[..., None], 0.0)
-        + jnp.where(krow == ly1[..., None], ty[..., None], 0.0)
-    ).reshape(th * tw, kh)
-    ohh = jnp.where(kcol == lx0[..., None], (1.0 - tx)[..., None], 0.0) + jnp.where(
-        kcol == lx1[..., None], tx[..., None], 0.0
-    )
+    ohv = jnp.maximum(0.0, 1.0 - jnp.abs(krow - ly[..., None])).reshape(th * tw, kh)
+    ohh = jnp.maximum(0.0, 1.0 - jnp.abs(kcol - lx[..., None]))
     for ch in range(c):
         win = img_ref[0, ch, pl.ds(by, kh), pl.ds(bx, kw)].astype(jnp.float32)
         v = jax.lax.dot_general(
